@@ -1,0 +1,208 @@
+"""Vectorized board-safety analysis: Benson pass-alive, pass-dead, safe area.
+
+Re-derives the reference's ComputePassAliveArea / ComputeSafeArea /
+ComputeScoreArea (/root/reference/src/game/board.cc:1581-2051) as dense array
+fixpoints. The reference walks circular linked lists of region/string cells;
+here regions and chains are min-index labels and every per-region / per-chain
+aggregate is a scatter(add/or/min) over label roots:
+
+- a region's candidate "vital" chains are the <=4 chains adjacent to its
+  min-index empty cell (the true vital set is an intersection of per-empty
+  adjacency sets, so it is contained in any one of them);
+- Benson's iteration ("remove strings with <2 vital regions; kill regions
+  adjacent to removed strings") runs as a while_loop over per-chain alive
+  bits — monotone, so it terminates in <= #chains trips.
+
+Known deviation: the pass-dead potential-eye count ignores the reference's
+"inner region" refinement for false-eye life / two-headed dragons
+(board.cc:2013-2107) — a per-region complement-connectivity pass that is
+deliberately approximated to keep the kernel shape-static; the eye heuristic
+is already greedy in the reference (board.cc:1962-1969).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sayuri_tpu.game import board as B
+from sayuri_tpu.game.types import EMPTY
+
+
+def _scatter_or(vals, labels, nn):
+    """OR `vals` into label slots; [nn] bool, valid at label roots."""
+    idx = jnp.where(labels >= 0, labels, nn).reshape(-1)
+    out = jnp.zeros((nn + 1,), bool).at[idx].max(vals.reshape(-1), mode="drop")
+    return out[:nn]
+
+
+def _scatter_add(vals, labels, nn):
+    idx = jnp.where(labels >= 0, labels, nn).reshape(-1)
+    out = (
+        jnp.zeros((nn + 1,), jnp.int32)
+        .at[idx]
+        .add(vals.reshape(-1).astype(jnp.int32), mode="drop")
+    )
+    return out[:nn]
+
+
+def _scatter_min(vals, labels, nn, fill):
+    idx = jnp.where(labels >= 0, labels, nn).reshape(-1)
+    out = (
+        jnp.full((nn + 1,), fill, jnp.int32)
+        .at[idx]
+        .min(vals.reshape(-1), mode="drop")
+    )
+    return out[:nn]
+
+
+def _diag_shifts(m):
+    return (
+        B.shift(m, 1, 1, False),
+        B.shift(m, 1, -1, False),
+        B.shift(m, -1, 1, False),
+        B.shift(m, -1, -1, False),
+    )
+
+
+def pass_alive_area(stones, size, color):
+    """[n, n] bool: `color`'s pass-alive strings + vital regions + pass-dead
+    opponent regions. Semantics of Board::ComputePassAliveArea(color, true,
+    true) (board.cc:1720-1901)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = stones.shape[-1]
+    nn = n * n
+    mask = B.board_mask(size, n)
+    own = (stones == color + 1) & mask
+    other = mask & ~own                      # empty or opponent cells
+    empty_real = (stones == EMPTY) & mask
+    opp_real = (stones == 2 - color) & mask
+
+    lbl_r = B.chain_labels(other)            # regions of non-color cells
+    lbl_c = B.chain_labels(own)              # my chains
+    flat = B.flat_iota(n)
+
+    # --- potential vitality: every empty cell of the region touches my color,
+    # opponent stones are auto-vital under no-suicide (board.cc:1756-1775) ---
+    cell_ok = jnp.where(empty_real, B.nbr_or(own), True)
+    region_bad = _scatter_or(other & ~cell_ok, lbl_r, nn)
+    potential = ~region_bad                  # [nn] at region roots
+
+    # --- candidate vital chains: <=4 chains around the region's min empty ---
+    root_empty = _scatter_min(jnp.where(empty_real, flat, nn), lbl_r, nn, nn)
+    nbrA = B._neighbor_labels(lbl_c)         # [4, n, n] chain next to each cell
+    nbrA = jnp.where(empty_real[None], nbrA, -1)
+    keep = B._dedup_dir_mask(nbrA)
+    nbrA = jnp.where(keep, nbrA, -1)
+    nbrA_flat = nbrA.reshape(4, nn)
+    safe_root = jnp.clip(root_empty, 0, nn - 1)
+    cand = jnp.where(
+        root_empty < nn, nbrA_flat[:, safe_root], -1
+    )                                        # [4, nn] candidate chain per region
+
+    # --- vitality per (region, candidate slot): every empty cell of the
+    # region is adjacent to that chain (board.cc:1914-1950) ---
+    cand_at_cell = cand[:, jnp.clip(lbl_r, 0, None).reshape(-1)].reshape(
+        (4,) + lbl_r.shape
+    )                                        # [4, n, n] candidate of my region
+    member = (nbrA[None, 0] == cand_at_cell) | (nbrA[None, 1] == cand_at_cell)
+    member = member | (nbrA[None, 2] == cand_at_cell) | (nbrA[None, 3] == cand_at_cell)
+    member = member & (cand_at_cell >= 0)
+    vital = jnp.stack(
+        [
+            potential
+            & (cand[i] >= 0)
+            & ~_scatter_or(empty_real & ~member[i], lbl_r, nn)
+            for i in range(4)
+        ]
+    )                                        # [4, nn] at region roots
+
+    # --- Benson iteration over per-chain alive bits ---
+    is_chain_root = (lbl_c == flat) & own
+    alive0 = _scatter_or(own, lbl_c, nn)     # all chains start alive
+    lbl_c_safe = jnp.clip(lbl_c, 0, None)
+
+    def body(carry):
+        alive, _ = carry
+        alive_cell = alive[lbl_c_safe.reshape(-1)].reshape(n, n) & own
+        dead_adj = B.nbr_or(own & ~alive_cell)
+        usable = ~_scatter_or(other & dead_adj, lbl_r, nn)
+        count = jnp.zeros((nn + 1,), jnp.int32)
+        for i in range(4):
+            flag = vital[i] & usable
+            idx = jnp.where(flag, cand[i], nn)
+            count = count.at[idx].add(flag.astype(jnp.int32), mode="drop")
+        alive2 = alive & (count[:nn] >= 2)
+        return alive2, jnp.any(alive2 != alive)
+
+    alive, _ = lax.while_loop(
+        lambda c: c[1], body, (alive0, jnp.array(True))
+    )
+
+    alive_cells = alive[lbl_c_safe.reshape(-1)].reshape(n, n) & own
+    dead_adj = B.nbr_or(own & ~alive_cells)
+    usable = ~_scatter_or(other & dead_adj, lbl_r, nn)
+    vital_region = potential & usable
+    vital_cells = other & vital_region[
+        jnp.clip(lbl_r, 0, None).reshape(-1)
+    ].reshape(n, n)
+
+    # --- pass-dead opponent regions (board.cc:1882-2051, inner-region
+    # refinement approximated away; see module docstring) ---
+    occupied2 = alive_cells | vital_cells
+    others2 = mask & ~occupied2
+    lbl_r2 = B.chain_labels(others2)
+
+    no_c_side = ~B.nbr_or(occupied2)
+    d1, d2, d3, d4 = _diag_shifts(occupied2)
+    corner_c = (
+        d1.astype(jnp.int32)
+        + d2.astype(jnp.int32)
+        + d3.astype(jnp.int32)
+        + d4.astype(jnp.int32)
+    )
+    m1, m2, m3, m4 = _diag_shifts(mask)
+    corner_onboard = (
+        m1.astype(jnp.int32)
+        + m2.astype(jnp.int32)
+        + m3.astype(jnp.int32)
+        + m4.astype(jnp.int32)
+    )
+    interior = corner_onboard == 4
+    corner_ok = jnp.where(interior, corner_c <= 1, corner_c == 0)
+    is_eye = others2 & ~opp_real & no_c_side & corner_ok
+
+    eye_count = _scatter_add(is_eye, lbl_r2, nn)
+    same_reg_adj_eye = (
+        (B.shift(is_eye, 1, 0, False) & (B.shift(lbl_r2, 1, 0, -1) == lbl_r2))
+        | (B.shift(is_eye, -1, 0, False) & (B.shift(lbl_r2, -1, 0, -1) == lbl_r2))
+        | (B.shift(is_eye, 0, 1, False) & (B.shift(lbl_r2, 0, 1, -1) == lbl_r2))
+        | (B.shift(is_eye, 0, -1, False) & (B.shift(lbl_r2, 0, -1, -1) == lbl_r2))
+    )
+    adj_flag = _scatter_or(is_eye & same_reg_adj_eye, lbl_r2, nn)
+    eff_eyes = eye_count - ((eye_count == 2) & adj_flag).astype(jnp.int32)
+    pass_dead = eff_eyes < 2
+    pass_dead_cells = others2 & pass_dead[
+        jnp.clip(lbl_r2, 0, None).reshape(-1)
+    ].reshape(n, n)
+
+    return alive_cells | vital_cells | pass_dead_cells
+
+
+def safe_area(stones, size):
+    """[n, n] bool: pass-alive/pass-dead area of either color
+    (Board::ComputeSafeArea(result, mark_seki=false), board.cc:1706-1718)."""
+    return pass_alive_area(stones, size, 0) | pass_alive_area(stones, size, 1)
+
+
+def score_area_ownership(stones, size):
+    """[n, n] int32 {-1, 0, +1}: reach-area ownership overridden by each
+    color's pass-alive area (Board::ComputeScoreArea area rule,
+    board.cc:1581-1616). +1 black, -1 white, 0 neutral."""
+    own = B.area_ownership(stones, size)
+    pa_b = pass_alive_area(stones, size, 0)
+    pa_w = pass_alive_area(stones, size, 1)
+    own = jnp.where(pa_b, 1, own)
+    own = jnp.where(pa_w, -1, own)
+    return own

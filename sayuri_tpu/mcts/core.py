@@ -1,0 +1,650 @@
+"""Array-based batched MCTS.
+
+TPU-first re-design of the reference search (/root/reference/src/mcts/
+search.cc, node.cc): instead of a heap tree of atomically-inflated edge
+pointers walked by worker threads (node_pointer.h:11-67, search.cc:342-351),
+the forest of B independent game trees lives in dense arrays
+``[B, max_nodes, ...]`` and one simulation per tree advances in lockstep
+under ``jit``:
+
+    select (vectorized PUCT descent)  ->  env.step to the leaf
+    ->  ONE batched network forward over all B leaves  ->  scatter backup
+
+Thread-safety machinery (virtual loss, expand-state CAS, ownership mutex —
+node.h:273-331) disappears: within a tree the simulations are sequential, so
+results are bit-deterministic; parallelism comes from the game batch, which
+is also what fills the accelerator (the role of BatchForwardPipe's
+cross-thread queue, batch_forward_pipe.cc:99-193).
+
+Implemented Sayuri search semantics, with source citations inline:
+- PUCT with FPU reduction (node.cc:423-438), dynamic cpuct scaled by child
+  value variance (node.cc:440-461), log-growth cpuct (node.cc:463-473)
+- score-utility term E[atan((s - center)/(div*bsize))]*2/pi under
+  N(score_mean, score_stddev) (score_value.h:40-134) — computed by
+  Gauss-Hermite quadrature instead of the reference's lookup table
+- forced playouts at root (node.cc:474-485)
+- Dirichlet root noise mixed at selection time (node.cc:576-585)
+- Welford online variance for WL and score (node.cc:692-734)
+- terminal two-pass leaves valued by final score (search.cc:71-88)
+- Gumbel / Sequential-Halving root selection with completed-Q
+  (node.cc:1606-1760) — see gumbel.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from flax import struct
+
+from sayuri_tpu.game import board as B_
+from sayuri_tpu.game.state import GoEnv, GoState
+
+
+class NetEvals(NamedTuple):
+    """Evaluation of a batch of states, black perspective (the reference's
+    NodeEvals, node.h)."""
+
+    priors: jnp.ndarray          # [B, A] legal-masked softmax policy
+    black_wl: jnp.ndarray        # [B] P(black wins) in [0, 1]
+    draw: jnp.ndarray            # [B]
+    black_score: jnp.ndarray     # [B] predicted black score lead
+    black_ownership: jnp.ndarray  # [B, HW] in [-1, 1]
+
+
+EvalFn = Callable[[GoState], NetEvals]
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Search knobs, named after the reference option map
+    (/root/reference/src/config.cc:64-111, mcts/parameters.h:14-84)."""
+
+    max_nodes: int = 256
+    max_depth: int = 96
+    # PUCT
+    cpuct_init: float = 0.5
+    cpuct_base: float = 19652.0
+    cpuct_base_factor: float = 1.0
+    cpuct_dynamic: bool = True
+    cpuct_dynamic_k_factor: float = 4.0
+    cpuct_dynamic_k_base: float = 10000.0
+    fpu_reduction: float = 0.25
+    root_fpu_reduction: float = 0.25
+    # score utility
+    score_utility_factor: float = 0.1
+    score_utility_div: float = 20.0
+    # noise / exploration
+    dirichlet_noise: bool = False
+    dirichlet_epsilon: float = 0.25
+    dirichlet_init: float = 0.03
+    dirichlet_factor: float = 361.0
+    forced_playouts_k: float = 0.0
+    # Gumbel root (bash/configs: --gumbel, gumbel_considered_moves=16)
+    gumbel: bool = False
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 1.0
+    gumbel_considered_moves: int = 16
+    # LCB best-move selection
+    lcb_reduction: float = 0.02
+
+
+@struct.dataclass
+class Tree:
+    """Forest of B trees in dense arrays. Node 0 of each tree is its root
+    (tree reuse re-roots by copying the kept subtree forward)."""
+
+    # edge data [B, N, A]
+    prior: jnp.ndarray       # f32, exactly 0 for illegal actions
+    child: jnp.ndarray       # i32 node index or -1
+
+    # node data [B, N]
+    parent: jnp.ndarray          # i32 (-1 for root)
+    parent_action: jnp.ndarray   # i32
+    visits: jnp.ndarray          # i32
+    acc_wl: jnp.ndarray          # f32 sum of black win prob
+    acc_draw: jnp.ndarray        # f32
+    acc_score: jnp.ndarray       # f32 sum of black score
+    sq_eval_diff: jnp.ndarray    # f32 Welford accumulator (node.cc:692-734)
+    sq_score_diff: jnp.ndarray   # f32
+    net_wl: jnp.ndarray          # f32 raw NN value (black)
+    net_score: jnp.ndarray       # f32 raw NN score (black)
+    terminal: jnp.ndarray        # bool
+    valid: jnp.ndarray           # bool (root superko purge clears these)
+
+    # per-node game state (leading dims [B, N])
+    states: GoState
+
+    # per-tree data [B]
+    next_free: jnp.ndarray   # i32
+    root_noise: jnp.ndarray  # [B, A] dirichlet noise buffer (parameters.h:156)
+    root_ownership: jnp.ndarray  # [B, HW] running average (node.cc:724-733)
+    # gumbel root state
+    root_gumbel: jnp.ndarray     # [B, A] gumbel noise (node.cc:1606+)
+
+    @property
+    def num_actions(self) -> int:
+        return self.prior.shape[-1]
+
+
+def _batched(x, b):
+    return jnp.broadcast_to(x, (b,) + x.shape)
+
+
+# Gauss-Hermite nodes/weights for E[f(mean + stddev*Z)], Z ~ N(0,1)
+_GH_X, _GH_W = np.polynomial.hermite_e.hermegauss(11)
+_GH_W = _GH_W / _GH_W.sum()
+
+
+def expected_score_value(mean, stddev, center, div, board_size):
+    """E[atan((s - center)/(div*bsize))*2/pi], s ~ N(mean, stddev)
+    (ScoreValue::ExpectedScoreValue semantics, score_value.h:40-134)."""
+    x = mean[..., None] + stddev[..., None] * _GH_X  # [..., K]
+    sv = jnp.arctan((x - center[..., None]) / (div * board_size)) * (2.0 / jnp.pi)
+    return jnp.sum(sv * _GH_W, axis=-1)
+
+
+class MCTS:
+    """Batched search driver bound to an env + eval function."""
+
+    def __init__(self, env: GoEnv, eval_fn: EvalFn, cfg: SearchConfig):
+        self.env = env
+        self.eval_fn = eval_fn
+        self.cfg = cfg
+        self.A = env.num_actions
+
+    # ------------------------------------------------------------------
+    # tree construction
+    # ------------------------------------------------------------------
+
+    def init_tree(self, root_states: GoState, rng) -> Tree:
+        """Evaluate roots and build a fresh forest (PrepareRootNode,
+        search.cc:139-181 + node.cc:32)."""
+        cfg = self.cfg
+        b = root_states.stones.shape[0]
+        n_nodes, A = cfg.max_nodes, self.A
+        hw = self.env.n * self.env.n
+
+        evals = self.eval_fn(root_states)
+
+        def zeros(shape, dt=jnp.float32):
+            return jnp.zeros(shape, dt)
+
+        states = jax.tree.map(
+            lambda x: jnp.zeros((b, n_nodes) + x.shape[1:], x.dtype),
+            root_states,
+        )
+        states = jax.tree.map(
+            lambda buf, root: buf.at[:, 0].set(root), states, root_states
+        )
+
+        noise = self._sample_dirichlet(rng, evals.priors)
+        gumbel = self._sample_gumbel(rng, evals.priors)
+
+        tree = Tree(
+            prior=zeros((b, n_nodes, A)).at[:, 0].set(evals.priors),
+            child=jnp.full((b, n_nodes, A), -1, jnp.int32),
+            parent=jnp.full((b, n_nodes), -1, jnp.int32),
+            parent_action=jnp.full((b, n_nodes), -1, jnp.int32),
+            visits=zeros((b, n_nodes), jnp.int32).at[:, 0].set(1),
+            acc_wl=zeros((b, n_nodes)).at[:, 0].set(evals.black_wl),
+            acc_draw=zeros((b, n_nodes)).at[:, 0].set(evals.draw),
+            acc_score=zeros((b, n_nodes)).at[:, 0].set(evals.black_score),
+            sq_eval_diff=zeros((b, n_nodes)),
+            sq_score_diff=zeros((b, n_nodes)),
+            net_wl=zeros((b, n_nodes)).at[:, 0].set(evals.black_wl),
+            net_score=zeros((b, n_nodes)).at[:, 0].set(evals.black_score),
+            terminal=zeros((b, n_nodes), bool).at[:, 0].set(
+                root_states.terminated
+            ),
+            valid=zeros((b, n_nodes), bool).at[:, 0].set(True),
+            states=states,
+            next_free=jnp.ones((b,), jnp.int32),
+            root_noise=noise,
+            root_ownership=evals.black_ownership,
+            root_gumbel=gumbel,
+        )
+        return tree
+
+    def _sample_dirichlet(self, rng, priors):
+        """Root Dirichlet buffer (node.cc:1395-1423): alpha =
+        dirichlet_init * dirichlet_factor / num_legal_moves over legal moves."""
+        cfg = self.cfg
+        if not cfg.dirichlet_noise:
+            return jnp.zeros_like(priors)
+        legal = priors > 0
+        num_legal = jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1)
+        alpha = cfg.dirichlet_init * cfg.dirichlet_factor / num_legal
+        k1, _ = jax.random.split(rng)
+        g = jax.random.gamma(k1, jnp.broadcast_to(alpha, priors.shape))
+        g = jnp.where(legal, g, 0.0)
+        return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-12)
+
+    def _sample_gumbel(self, rng, priors):
+        if not self.cfg.gumbel:
+            return jnp.zeros_like(priors)
+        _, k2 = jax.random.split(rng)
+        g = jax.random.gumbel(k2, priors.shape)
+        return jnp.where(priors > 0, g, -jnp.inf)
+
+    # ------------------------------------------------------------------
+    # stats helpers (all black-perspective accumulators)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _wl_of(tree, idx, b_idx):
+        v = tree.visits[b_idx, idx]
+        return tree.acc_wl[b_idx, idx] / jnp.maximum(v, 1)
+
+    def _score_eval(self, tree, child_idx, b_idx, color, root_score):
+        """Score-utility term of the Q value (node.cc:757-768)."""
+        cfg = self.cfg
+        v = tree.visits[b_idx, child_idx]
+        mean_b = tree.acc_score[b_idx, child_idx] / jnp.maximum(v, 1)
+        var = jnp.where(
+            v > 1,
+            tree.sq_score_diff[b_idx, child_idx] / jnp.maximum(v - 1, 1),
+            1.0,
+        )
+        stddev = jnp.sqrt(jnp.maximum(var, 0.0))
+        sign = jnp.where(color == 0, 1.0, -1.0)
+        sv = expected_score_value(
+            sign * mean_b,
+            stddev,
+            sign * root_score,
+            cfg.score_utility_div,
+            float(self.env.n),
+        )
+        return sv * cfg.score_utility_factor
+
+    # ------------------------------------------------------------------
+    # selection
+    # ------------------------------------------------------------------
+
+    def _puct_scores(self, tree, node_idx, is_root, root_score):
+        """[B, A] PUCT selection scores at `node_idx` (node.cc:499-576)."""
+        cfg = self.cfg
+        b = node_idx.shape[0]
+        b_idx = jnp.arange(b)
+        A = tree.num_actions
+
+        child = tree.child[b_idx, node_idx]       # [B, A]
+        p_raw = tree.prior[b_idx, node_idx]       # [B, A]
+        legal = p_raw > 0
+
+        has_child = child >= 0
+        child_safe = jnp.maximum(child, 0)
+        nv = jnp.where(has_child, tree.visits[b_idx[:, None], child_safe], 0)
+        cv = jnp.sum(nv, axis=-1)                 # children_visits
+        tvp = jnp.sum(jnp.where(nv > 0, p_raw, 0.0), axis=-1)
+
+        color = tree.states.to_move[b_idx, node_idx]  # [B]
+        sign = jnp.where(color == 0, 1.0, -1.0)
+
+        # fpu (node.cc:423-438); values converted to node color perspective
+        net_wl_c = jnp.where(
+            color == 0, tree.net_wl[b_idx, node_idx],
+            1.0 - tree.net_wl[b_idx, node_idx],
+        )
+        parent_v = tree.visits[b_idx, node_idx]
+        wl_c = jnp.where(
+            color == 0,
+            self._wl_of(tree, node_idx, b_idx),
+            1.0 - self._wl_of(tree, node_idx, b_idx),
+        )
+        fpu_red = jnp.where(
+            is_root, cfg.root_fpu_reduction, cfg.fpu_reduction
+        ) * jnp.sqrt(tvp)
+        avg_factor = jnp.square(tvp)
+        fpu = jnp.where(
+            parent_v <= 0,
+            net_wl_c - fpu_red,
+            (1.0 - avg_factor) * net_wl_c + avg_factor * wl_c - fpu_red,
+        )
+
+        # per-child Q (color perspective) + score utility
+        wl_child_b = tree.acc_wl[
+            b_idx[:, None], child_safe
+        ] / jnp.maximum(nv, 1)
+        wl_child = jnp.where(color[:, None] == 0, wl_child_b, 1.0 - wl_child_b)
+        score_eval = self._score_eval(
+            tree, child_safe, b_idx[:, None], color[:, None], root_score[:, None]
+        )
+        visited = has_child & (nv > 0)
+        q = jnp.where(visited, wl_child + score_eval, fpu[:, None])
+
+        # forced playouts (root only, node.cc:474-485)
+        if cfg.forced_playouts_k > 0:
+            forced_n = jnp.sqrt(
+                jnp.maximum(
+                    1e-4,
+                    cfg.forced_playouts_k
+                    * jnp.minimum(0.2, p_raw)
+                    * cv[:, None].astype(jnp.float32),
+                )
+            ).astype(jnp.int32)
+            q = q + jnp.where(
+                is_root[:, None] & visited & (forced_n > nv),
+                (forced_n - nv).astype(jnp.float32) * 1e6,
+                0.0,
+            )
+
+        # policy with root noise (node.cc:576-585)
+        if cfg.dirichlet_noise:
+            psa = jnp.where(
+                is_root[:, None],
+                p_raw * (1 - cfg.dirichlet_epsilon)
+                + cfg.dirichlet_epsilon * tree.root_noise,
+                p_raw,
+            )
+        else:
+            psa = p_raw
+
+        # cpuct (node.cc:463-473) + dynamic factor (node.cc:440-461)
+        cpuct = cfg.cpuct_init + cfg.cpuct_base_factor * jnp.log(
+            (cv.astype(jnp.float32) + cfg.cpuct_base + 1.0) / cfg.cpuct_base
+        )
+        if cfg.cpuct_dynamic:
+            var = jnp.where(
+                nv > 1,
+                tree.sq_eval_diff[b_idx[:, None], child_safe]
+                / jnp.maximum(nv - 1, 1),
+                1.0,
+            )
+            k = cfg.cpuct_dynamic_k_factor * (
+                jnp.sqrt(jnp.maximum(var, 0.0)) / jnp.maximum(nv, 1)
+            )
+            k = jnp.clip(k, 0.5, 1.4)
+            alpha = 1.0 / (
+                1.0 + jnp.sqrt(cv[:, None] / cfg.cpuct_dynamic_k_base)
+            )
+            k = alpha * k + (1.0 - alpha)
+            k = jnp.where(nv > 1, k, 1.0)
+            cpuct_a = cpuct[:, None] * k
+        else:
+            cpuct_a = jnp.broadcast_to(cpuct[:, None], psa.shape)
+
+        numerator = jnp.sqrt(cv.astype(jnp.float32))
+        puct = cpuct_a * psa * (numerator[:, None] / (1.0 + nv))
+        score = q + puct
+        valid_child = ~has_child | tree.valid[b_idx[:, None], child_safe]
+        return jnp.where(legal & valid_child, score, -jnp.inf)
+
+    def _select_action(self, tree, node_idx, is_root, root_score, sim_idx):
+        """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382)."""
+        scores = self._puct_scores(tree, node_idx, is_root, root_score)
+        if self.cfg.gumbel:
+            from sayuri_tpu.mcts import gumbel as G
+
+            gumbel_scores = G.root_scores(self, tree, node_idx)
+            # SH budget exhausted (all -inf) -> PUCT fallback
+            # (ProcessGumbelLogits returning false, node.cc:1729-1731)
+            g_ok = jnp.any(jnp.isfinite(gumbel_scores), axis=-1)
+            scores = jnp.where(
+                (is_root & g_ok)[:, None], gumbel_scores, scores
+            )
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # one simulation for the whole batch
+    # ------------------------------------------------------------------
+
+    def simulate(self, tree: Tree, sim_idx) -> Tree:
+        """One playout per tree (PlaySimulation, search.cc:65-137)."""
+        cfg = self.cfg
+        b = tree.visits.shape[0]
+        b_idx = jnp.arange(b)
+        root_score = tree.acc_score[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
+
+        # ---- descent ----
+        def cond(carry):
+            _, _, _, done, depth = carry
+            return jnp.any(~done) & (depth < cfg.max_depth)
+
+        def body(carry):
+            cur, path, path_a, done, depth = carry
+            is_root = cur == 0
+            a = self._select_action(tree, cur, is_root, root_score, sim_idx)
+            child = tree.child[b_idx, cur, a]
+            # record step
+            path = path.at[:, depth].set(jnp.where(done, -1, cur))
+            path_a = path_a.at[:, depth].set(jnp.where(done, -1, a))
+            # stop if no child (expand here) or child is terminal
+            child_term = jnp.where(
+                child >= 0, tree.terminal[b_idx, jnp.maximum(child, 0)], False
+            )
+            new_done = done | (child < 0) | child_term
+            cur = jnp.where(new_done, cur, jnp.maximum(child, 0))
+            return cur, path, path_a, new_done, depth + 1
+
+        path0 = jnp.full((b, cfg.max_depth), -1, jnp.int32)
+        cur, path, path_a, done, depth = lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.zeros((b,), jnp.int32),
+                path0,
+                path0,
+                tree.terminal[:, 0],  # terminal root: no descent
+                jnp.int32(0),
+            ),
+        )
+
+        # leaf edge = last recorded (node, action) per lane
+        last_d = jnp.maximum(
+            jnp.sum(path >= 0, axis=-1) - 1, 0
+        )  # index of final step
+        leaf_parent = jnp.where(
+            tree.terminal[:, 0], 0, path[b_idx, last_d]
+        )
+        leaf_parent = jnp.maximum(leaf_parent, 0)
+        leaf_action = jnp.maximum(path_a[b_idx, last_d], 0)
+        existing_child = tree.child[b_idx, leaf_parent, leaf_action]
+
+        # ---- step env to the leaf ----
+        parent_states = jax.tree.map(
+            lambda x: x[b_idx, leaf_parent], tree.states
+        )
+        child_states = jax.vmap(self.env.step)(parent_states, leaf_action)
+
+        # ---- evaluate ----
+        evals = self.eval_fn(child_states)
+        term = child_states.terminated
+        # terminal two-pass leaves valued by the final score
+        # (search.cc:71-88); Tromp-Taylor ownership stands in for the full
+        # score-area pass (see mcts docstring)
+        own_map = jax.vmap(self.env.ownership)(child_states).reshape(b, -1)
+        t_score = jnp.sum(own_map, axis=-1).astype(jnp.float32) - jax.vmap(
+            self.env.komi_with_penalty
+        )(child_states)
+        t_wl = jnp.where(t_score > 0, 1.0, jnp.where(t_score < 0, 0.0, 0.5))
+        black_wl = jnp.where(term, t_wl, evals.black_wl)
+        black_score = jnp.where(term, t_score, evals.black_score)
+        black_own = jnp.where(
+            term[:, None], own_map.astype(jnp.float32), evals.black_ownership
+        )
+        draw = jnp.where(term, 0.0, evals.draw)
+
+        # ---- expand (unless child exists / tree full / root terminal) ----
+        new_idx = tree.next_free
+        can_expand = (
+            (existing_child < 0)
+            & (new_idx < cfg.max_nodes)
+            & ~tree.terminal[:, 0]
+        )
+        node_for_stats = jnp.where(
+            existing_child >= 0, existing_child, jnp.minimum(new_idx, cfg.max_nodes - 1)
+        )
+        reuse_root = tree.terminal[:, 0]
+        node_for_stats = jnp.where(reuse_root, 0, node_for_stats)
+
+        def set_node(buf, vals):
+            return buf.at[b_idx, node_for_stats].set(
+                jnp.where(_bcast(can_expand, vals), vals, buf[b_idx, node_for_stats])
+            )
+
+        tree = tree.replace(
+            prior=tree.prior.at[b_idx, node_for_stats].set(
+                jnp.where(
+                    can_expand[:, None],
+                    evals.priors,
+                    tree.prior[b_idx, node_for_stats],
+                )
+            ),
+            child=tree.child.at[b_idx, leaf_parent, leaf_action].set(
+                jnp.where(
+                    can_expand,
+                    node_for_stats,
+                    tree.child[b_idx, leaf_parent, leaf_action],
+                )
+            ),
+            parent=set_node(tree.parent, leaf_parent),
+            parent_action=set_node(tree.parent_action, leaf_action),
+            net_wl=set_node(tree.net_wl, black_wl),
+            net_score=set_node(tree.net_score, black_score),
+            terminal=set_node(tree.terminal, term),
+            valid=tree.valid.at[b_idx, node_for_stats].set(
+                jnp.where(can_expand, True, tree.valid[b_idx, node_for_stats])
+            ),
+            states=jax.tree.map(
+                lambda buf, s: buf.at[b_idx, node_for_stats].set(
+                    jnp.where(
+                        _bcast(can_expand, s), s, buf[b_idx, node_for_stats]
+                    )
+                ),
+                tree.states,
+                child_states,
+            ),
+            next_free=tree.next_free + can_expand.astype(jnp.int32),
+        )
+
+        # ---- backup: Update() along path + the leaf (node.cc:692-734) ----
+        def welford_update(tree_, idx, wl, dr, sc, valid):
+            old_v = tree_.visits[b_idx, idx]
+            old_wl = tree_.acc_wl[b_idx, idx]
+            old_sc = tree_.acc_score[b_idx, idx]
+
+            def wdelta(x, old_acc, ov):
+                old_delta = jnp.where(ov > 0, x - old_acc / jnp.maximum(ov, 1), 0.0)
+                new_delta = x - (old_acc + x) / (ov + 1)
+                return old_delta * new_delta
+
+            vi = valid.astype(jnp.int32)
+            vf = valid.astype(jnp.float32)
+            return tree_.replace(
+                visits=tree_.visits.at[b_idx, idx].add(vi),
+                acc_wl=tree_.acc_wl.at[b_idx, idx].add(wl * vf),
+                acc_draw=tree_.acc_draw.at[b_idx, idx].add(dr * vf),
+                acc_score=tree_.acc_score.at[b_idx, idx].add(sc * vf),
+                sq_eval_diff=tree_.sq_eval_diff.at[b_idx, idx].add(
+                    wdelta(wl, old_wl, old_v) * vf
+                ),
+                sq_score_diff=tree_.sq_score_diff.at[b_idx, idx].add(
+                    wdelta(sc, old_sc, old_v) * vf
+                ),
+            )
+
+        # leaf node first (skip if the tree is full and nothing was expanded)
+        leaf_ok = (can_expand | (existing_child >= 0)) & ~reuse_root
+        tree = welford_update(
+            tree, node_for_stats, black_wl, draw, black_score, leaf_ok
+        )
+        # then the recorded path (root..parent)
+        def backup_body(d, tree_):
+            idx = path[:, d]
+            ok = idx >= 0
+            return welford_update(
+                tree_, jnp.maximum(idx, 0), black_wl, draw, black_score, ok
+            )
+
+        tree = lax.fori_loop(0, cfg.max_depth, backup_body, tree)
+        # root terminal lanes: update root once
+        tree = welford_update(tree, jnp.zeros_like(node_for_stats),
+                              black_wl, draw, black_score, reuse_root)
+
+        # root ownership running average (node.cc:724-733)
+        rv = tree.visits[:, 0].astype(jnp.float32)
+        tree = tree.replace(
+            root_ownership=tree.root_ownership
+            + (black_own - tree.root_ownership) / rv[:, None]
+        )
+        return tree
+
+    def run(self, tree: Tree, num_sims: int) -> Tree:
+        """Run `num_sims` lockstep simulations (Computation's playout loop,
+        search.cc:342-386)."""
+
+        def body(i, t):
+            return self.simulate(t, i)
+
+        return lax.fori_loop(0, num_sims, body, tree)
+
+    # ------------------------------------------------------------------
+    # results
+    # ------------------------------------------------------------------
+
+    def root_child_visits(self, tree: Tree) -> jnp.ndarray:
+        """[B, A] visit counts of root children."""
+        b = tree.visits.shape[0]
+        b_idx = jnp.arange(b)[:, None]
+        child = tree.child[:, 0]
+        return jnp.where(
+            child >= 0, tree.visits[b_idx, jnp.maximum(child, 0)], 0
+        )
+
+    def root_child_q(self, tree: Tree, color) -> jnp.ndarray:
+        """[B, A] mean child values in `color` perspective; unvisited -> 0."""
+        b = tree.visits.shape[0]
+        b_idx = jnp.arange(b)[:, None]
+        child = tree.child[:, 0]
+        safe = jnp.maximum(child, 0)
+        nv = jnp.where(child >= 0, tree.visits[b_idx, safe], 0)
+        wl_b = tree.acc_wl[b_idx, safe] / jnp.maximum(nv, 1)
+        wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
+        return jnp.where(nv > 0, wl, 0.0)
+
+    def best_move(self, tree: Tree) -> jnp.ndarray:
+        """LCB-adjusted best move (GetBestMove + LCB, node.cc:792-811,
+        1145-1216): among root children, rank by visit count, break ties /
+        adjust with a lower-confidence bound on the value."""
+        cfg = self.cfg
+        visits = self.root_child_visits(tree)
+        color = tree.states.to_move[:, 0]
+        q = self.root_child_q(tree, color)
+
+        b = tree.visits.shape[0]
+        b_idx = jnp.arange(b)[:, None]
+        child = tree.child[:, 0]
+        safe = jnp.maximum(child, 0)
+        var = jnp.where(
+            visits > 1,
+            tree.sq_eval_diff[b_idx, safe] / jnp.maximum(visits - 1, 1),
+            1.0,
+        )
+        stddev = jnp.sqrt(jnp.maximum(var, 0.0) / jnp.maximum(visits, 1))
+        z = 1.96  # ~t-quantile tail used by the reference's cached table
+        lcb = q - z * stddev
+        # mix: full visits dominate, LCB refines (lcb_reduction=0.02)
+        max_v = jnp.maximum(jnp.max(visits, axis=-1, keepdims=True), 1)
+        score = jnp.where(
+            visits > 0,
+            lcb + (1.0 - cfg.lcb_reduction) * 0.0
+            + visits.astype(jnp.float32) / max_v * cfg.lcb_reduction,
+            -jnp.inf,
+        )
+        # require some visits: fall back to max visits when too shallow
+        visited_enough = jnp.sum(visits > 0, axis=-1, keepdims=True) > 0
+        best_lcb = jnp.argmax(score, axis=-1)
+        best_visits = jnp.argmax(visits, axis=-1)
+        return jnp.where(
+            visited_enough[:, 0], best_lcb, best_visits
+        ).astype(jnp.int32)
+
+
+def _bcast(flag, like):
+    """Broadcast [B] bool against [B, ...] array."""
+    return jnp.reshape(flag, flag.shape + (1,) * (like.ndim - 1))

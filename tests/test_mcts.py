@@ -1,0 +1,142 @@
+"""Batched MCTS tests with a dummy evaluator.
+
+The reference runs its whole pipeline with a random-output network when no
+weights are given (DummyForward, network.cc:144-165); the same trick makes
+the search testable without a trained model. Correctness probes: visit
+accounting, legality of chosen moves, value convergence on a decided
+position, Gumbel mode, and jit/vmap cleanliness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sayuri_tpu.game.state import GoEnv
+from sayuri_tpu.mcts.core import MCTS, NetEvals, SearchConfig
+
+
+def make_dummy_eval(env, value_fn=None):
+    """Uniform priors over legal moves; value from `value_fn(states)` or 0.5."""
+
+    def eval_fn(states):
+        b = states.stones.shape[0]
+        legal = jax.vmap(env.legal_action_mask)(states)
+        priors = legal.astype(jnp.float32)
+        priors = priors / jnp.maximum(
+            jnp.sum(priors, axis=-1, keepdims=True), 1.0
+        )
+        if value_fn is None:
+            wl = jnp.full((b,), 0.5)
+        else:
+            wl = value_fn(states)
+        return NetEvals(
+            priors=priors,
+            black_wl=wl,
+            draw=jnp.zeros((b,)),
+            black_score=jnp.zeros((b,)),
+            black_ownership=jnp.zeros((b, env.n * env.n)),
+        )
+
+    return eval_fn
+
+
+def run_search(env, states, sims, cfg, value_fn=None, seed=0):
+    mcts = MCTS(env, make_dummy_eval(env, value_fn), cfg)
+
+    @jax.jit
+    def go(states):
+        tree = mcts.init_tree(states, jax.random.PRNGKey(seed))
+        return mcts.run(tree, sims)
+
+    return mcts, go(states)
+
+
+class TestSearch:
+    def test_visit_accounting(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(4, komi=0.5)
+        cfg = SearchConfig(max_nodes=64, max_depth=16)
+        mcts, tree = run_search(env, states, 30, cfg)
+        visits = np.asarray(tree.visits[:, 0])
+        # root visits = 1 (init eval) + 30 sims
+        np.testing.assert_array_equal(visits, 31)
+        child_visits = np.asarray(mcts.root_child_visits(tree))
+        assert (child_visits.sum(axis=-1) == 30).all()
+        # nodes allocated <= sims + 1
+        assert (np.asarray(tree.next_free) <= 31).all()
+
+    def test_best_move_is_legal(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(3, komi=0.5)
+        step = jax.jit(jax.vmap(env.step))
+        states = step(states, jnp.array([12, 6, 7]))
+        cfg = SearchConfig(max_nodes=64, max_depth=16)
+        mcts, tree = run_search(env, states, 40, cfg)
+        best = np.asarray(mcts.best_move(tree))
+        legal = np.asarray(jax.jit(jax.vmap(env.legal_action_mask))(states))
+        for b in range(3):
+            assert legal[b, best[b]], f"lane {b} picked illegal {best[b]}"
+
+    def test_value_converges_on_winning_position(self):
+        """Black massively ahead: with a value function reading the true
+        area score of terminal positions, root value should drift above 0.5
+        for black."""
+        env = GoEnv(n=5)
+        b = 2
+        states = env.new_batch(b, komi=0.5)
+        # black plays 4 stones in a row; white passes between
+        step = jax.jit(jax.vmap(env.step))
+        for mv in [6, 25, 7, 25, 8, 25, 11]:
+            states = step(states, jnp.full((b,), mv, jnp.int32))
+
+        def value_fn(s):
+            # oracle-ish: sign of current area score
+            sc = jax.vmap(lambda st: env.final_score(st))(s)
+            return jnp.clip(0.5 + 0.4 * jnp.tanh(sc / 5.0), 0.0, 1.0)
+
+        cfg = SearchConfig(max_nodes=128, max_depth=16)
+        mcts, tree = run_search(env, states, 60, cfg, value_fn=value_fn)
+        root_wl = np.asarray(tree.acc_wl[:, 0] / tree.visits[:, 0])
+        # black to move and winning big
+        assert (root_wl > 0.6).all(), root_wl
+
+    def test_gumbel_mode_runs(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(2, komi=0.5)
+        cfg = SearchConfig(
+            max_nodes=64, max_depth=16, gumbel=True,
+            gumbel_considered_moves=4,
+        )
+        mcts, tree = run_search(env, states, 20, cfg, seed=3)
+        child_visits = np.asarray(mcts.root_child_visits(tree))
+        assert (child_visits.sum(axis=-1) == 20).all()
+        # SH with m=4 spreads visits over multiple children
+        assert ((child_visits > 0).sum(axis=-1) >= 4).all()
+
+        from sayuri_tpu.mcts import gumbel as G
+
+        move = np.asarray(G.gumbel_move(mcts, tree, allow_pass=jnp.array([True, True])))
+        assert (move >= 0).all() and (move <= env.pass_action).all()
+        pol = np.asarray(G.completed_q_policy(mcts, tree))
+        np.testing.assert_allclose(pol.sum(axis=-1), 1.0, atol=1e-5)
+        assert (pol >= 0).all()
+
+    def test_dirichlet_noise_mode_runs(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(2, komi=0.5)
+        cfg = SearchConfig(max_nodes=64, max_depth=16, dirichlet_noise=True)
+        mcts, tree = run_search(env, states, 16, cfg, seed=7)
+        noise = np.asarray(tree.root_noise)
+        np.testing.assert_allclose(noise.sum(axis=-1), 1.0, atol=1e-5)
+
+    def test_terminal_root_is_stable(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(2, komi=0.5)
+        step = jax.jit(jax.vmap(env.step))
+        states = step(states, jnp.full((2,), env.pass_action, jnp.int32))
+        states = step(states, jnp.full((2,), env.pass_action, jnp.int32))
+        assert bool(states.terminated.all())
+        cfg = SearchConfig(max_nodes=32, max_depth=8)
+        mcts, tree = run_search(env, states, 10, cfg)
+        # no children expanded on a terminated game
+        assert (np.asarray(tree.next_free) == 1).all()
