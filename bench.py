@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark: NN-evaluated MCTS playouts/s per chip at 19x19.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline rate is what decides engine strength per unit compute: full
+batched searches (env step + 43-plane encode + network forward + tree
+update, B games in lockstep) on the default RL net (6 blocks x 96
+channels, /root/reference/bash/configs/selfplay-setting.json).
+
+vs_baseline compares against the reference's practical single-GPU search
+throughput at the same playout budget (~1-2k playouts/s on the consumer
+GPUs it was developed on; we use 1500 p/s as the comparison point —
+benchmark.cc's own Elo model values each doubling at ~250 Elo).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_PLAYOUTS_PER_S = 1500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sayuri_tpu.game.state import GoEnv
+    from sayuri_tpu.mcts.core import MCTS, SearchConfig
+    from sayuri_tpu.models.evaluator import make_eval_fn
+    from sayuri_tpu.models.network import NetConfig, SayuriNet
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+
+    env = GoEnv(n=19)
+    net_cfg = NetConfig(boardsize=19, compute_dtype=jnp.bfloat16)
+    net = SayuriNet(net_cfg)
+    n = 19
+    dummy = jnp.zeros((1, n, n, net_cfg.input_channels))
+    dummy = dummy.at[..., -1].set(1.0)
+    variables = net.init(jax.random.PRNGKey(0), dummy, train=False)
+
+    eval_fn = make_eval_fn(env, net, variables)
+    cfg = SearchConfig(max_nodes=playouts + 16, max_depth=64)
+    mcts = MCTS(env, eval_fn, cfg)
+
+    @jax.jit
+    def search(states, rng):
+        tree = mcts.init_tree(states, rng)
+        tree = mcts.run(tree, playouts)
+        return tree.visits[:, 0]
+
+    states = env.new_batch(batch, komi=7.5)
+    rng = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    search(states, rng).block_until_ready()
+
+    t0 = time.monotonic()
+    iters = 3
+    for i in range(iters):
+        out = search(states, jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = time.monotonic() - t0
+
+    total_playouts = iters * batch * playouts
+    rate = total_playouts / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mcts_playouts_per_s_19x19_b6c96",
+                "value": round(rate, 1),
+                "unit": "playouts/s",
+                "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

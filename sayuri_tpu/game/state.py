@@ -232,6 +232,14 @@ class GoEnv:
         )
         return jnp.where(state.rule == AREA_RULE, wave, 0.0)
 
+    def superko_action_mask(self, state: GoState) -> jnp.ndarray:
+        """[n*n + 1] bool: True where the action would violate positional
+        superko (KillRootSuperkos semantics, node.cc:1824-1841). Pass is
+        never a violation. Only capturing moves can recreate a position, but
+        the check is run for all actions branchlessly."""
+        actions = jnp.arange(self.num_actions, dtype=jnp.int32)
+        return jax.vmap(lambda a: self.superko_violation(state, a))(actions)
+
     def final_score(self, state: GoState) -> jnp.ndarray:
         """Black-minus-white score under the game's rule, from BLACK's view.
 

@@ -1,0 +1,504 @@
+"""GTP v2 protocol loop.
+
+Host-side re-design of the reference GtpLoop (/root/reference/src/game/
+gtp.cc:40-1456, command set in commands_list.h:8-147). Commands are
+dispatched to the jitted Agent; analysis commands emit the lz/kata-style
+info lines GUIs expect (node.cc:982-1088 formats)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from sayuri_tpu import __version__
+from sayuri_tpu.game import sgf as SGF
+from sayuri_tpu.game.types import AREA_RULE, TERRITORY_RULE
+from sayuri_tpu.gtp.engine import Agent, gtp_to_vertex, vertex_to_gtp
+from sayuri_tpu.gtp.time_control import TimeControl
+
+KNOWN_COMMANDS = [
+    "protocol_version", "name", "version", "known_command", "list_commands",
+    "quit", "boardsize", "query_boardsize", "clear_board", "clear_cache",
+    "komi", "get_komi", "play", "genmove", "undo", "showboard", "is_legal",
+    "color", "final_score", "final_status_list", "time_settings",
+    "kgs-time_settings", "time_left", "fixed_handicap", "place_free_handicap",
+    "set_free_handicap", "get_handicap", "loadsgf", "printsgf",
+    "kgs-game_over", "kgs-chat", "rules", "sayuri-setoption",
+    "sayuri-planes", "sayuri-raw_nn", "lz-analyze", "lz-genmove_analyze",
+    "kata-analyze", "kata-genmove_analyze", "sayuri-analyze",
+    "sayuri-genmove_analyze", "netbench", "benchmark",
+]
+
+_HANDICAP_9 = {  # standard star points for fixed_handicap on odd boards
+    2: [(3, 15), (15, 3)],
+    3: [(3, 15), (15, 3), (15, 15)],
+    4: [(3, 3), (3, 15), (15, 3), (15, 15)],
+    5: [(3, 3), (3, 15), (9, 9), (15, 3), (15, 15)],
+    6: [(3, 3), (3, 15), (9, 3), (9, 15), (15, 3), (15, 15)],
+    7: [(3, 3), (3, 15), (9, 3), (9, 9), (9, 15), (15, 3), (15, 15)],
+    8: [(3, 3), (3, 9), (3, 15), (9, 3), (9, 15), (15, 3), (15, 9), (15, 15)],
+    9: [(3, 3), (3, 9), (3, 15), (9, 3), (9, 9), (9, 15), (15, 3), (15, 9),
+        (15, 15)],
+}
+
+
+def _star_points(size, k):
+    """Scale the 19x19 star layout to `size` (Board::ComputeStarPoints)."""
+    edge = 3 if size >= 13 else 2
+    mid = size // 2
+    lut = {3: edge, 9: mid, 15: size - 1 - edge}
+    pts = []
+    for y, x in _HANDICAP_9.get(k, []):
+        pts.append((lut[y], lut[x]))
+    return pts
+
+
+def _color_arg(tok):
+    tok = tok.lower()
+    if tok in ("b", "black"):
+        return 0
+    if tok in ("w", "white"):
+        return 1
+    return None
+
+
+class GtpLoop:
+    def __init__(self, agent: Agent | None = None, **agent_kwargs):
+        self.agent = agent or Agent(**agent_kwargs)
+        self.time = TimeControl()
+        self.running = True
+
+    # ------------------------------------------------------------------
+
+    def execute(self, line: str) -> tuple[bool, str]:
+        """Process one GTP command; returns (ok, response body)."""
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return True, ""
+        parts = line.split()
+        cmd_id = ""
+        if parts[0].isdigit():
+            cmd_id = parts[0]
+            parts = parts[1:]
+        if not parts:
+            return True, ""
+        cmd, args = parts[0], parts[1:]
+        handler = getattr(self, "_cmd_" + cmd.replace("-", "_"), None)
+        if handler is None:
+            return False, "unknown command"
+        try:
+            return handler(args)
+        except Exception as e:  # GTP failure, keep the loop alive
+            return False, str(e)
+
+    def run(self, instream=sys.stdin, outstream=sys.stdout):
+        for line in instream:
+            stripped = line.split("#", 1)[0].strip()
+            parts = stripped.split()
+            cmd_id = parts[0] if parts and parts[0].isdigit() else ""
+            ok, body = self.execute(line)
+            if not stripped:
+                continue
+            prefix = ("=" if ok else "?") + cmd_id
+            outstream.write(f"{prefix} {body}\n\n")
+            outstream.flush()
+            if not self.running:
+                break
+
+    # -- administrative ------------------------------------------------
+
+    def _cmd_protocol_version(self, args):
+        return True, "2"
+
+    def _cmd_name(self, args):
+        return True, "sayuri-tpu"
+
+    def _cmd_version(self, args):
+        return True, __version__
+
+    def _cmd_known_command(self, args):
+        return True, "true" if args and args[0] in KNOWN_COMMANDS else "false"
+
+    def _cmd_list_commands(self, args):
+        return True, "\n".join(KNOWN_COMMANDS)
+
+    def _cmd_quit(self, args):
+        self.running = False
+        return True, ""
+
+    # -- board setup ---------------------------------------------------
+
+    def _cmd_boardsize(self, args):
+        size = int(args[0])
+        if not (2 <= size <= 25):
+            return False, "invalid board size"
+        self.agent.set_boardsize(size)
+        return True, ""
+
+    def _cmd_query_boardsize(self, args):
+        return True, str(self.agent.size)
+
+    def _cmd_clear_board(self, args):
+        self.agent.clear_board()
+        return True, ""
+
+    def _cmd_clear_cache(self, args):
+        return True, ""
+
+    def _cmd_komi(self, args):
+        self.agent.set_komi(float(args[0]))
+        return True, ""
+
+    def _cmd_get_komi(self, args):
+        return True, f"{self.agent.komi:g}"
+
+    def _cmd_rules(self, args):
+        if args:
+            rule = args[0].lower()
+            if rule in ("chinese", "area", "tromp-taylor"):
+                self.agent.set_rule(AREA_RULE)
+            elif rule in ("japanese", "territory"):
+                self.agent.set_rule(TERRITORY_RULE)
+            else:
+                return False, "unknown rules"
+            return True, ""
+        return True, (
+            "chinese" if self.agent.rule == AREA_RULE else "japanese"
+        )
+
+    # -- moves ---------------------------------------------------------
+
+    def _cmd_play(self, args):
+        color = _color_arg(args[0])
+        if color is None:
+            return False, "invalid color"
+        v = gtp_to_vertex(args[1], self.agent.size)
+        if v == "resign":
+            return True, ""
+        if v < self.agent.size**2 and not self.agent.is_legal(color, v):
+            return False, "illegal move"
+        self.agent.play(color, v)
+        return True, ""
+
+    def _cmd_genmove(self, args):
+        color = (
+            _color_arg(args[0]) if args else self.agent.to_move()
+        )
+        if color is None:
+            return False, "invalid color"
+        move, _ = self.agent.genmove(color)
+        if move == "resign":
+            return True, "resign"
+        return True, vertex_to_gtp(
+            move if move < self.agent.size**2 else None, self.agent.size
+        )
+
+    def _cmd_undo(self, args):
+        self.agent.undo()
+        return True, ""
+
+    def _cmd_is_legal(self, args):
+        color = _color_arg(args[0])
+        v = gtp_to_vertex(args[1], self.agent.size)
+        if color is None or v == "resign":
+            return False, "invalid is_legal"
+        if v >= self.agent.size**2:
+            return True, "1"
+        return True, "1" if self.agent.is_legal(color, v) else "0"
+
+    def _cmd_color(self, args):
+        v = gtp_to_vertex(args[0], self.agent.size)
+        s = self.agent.stones()
+        y, x = divmod(v, self.agent.size)
+        val = int(s[y, x])
+        return True, {0: "empty", 1: "black", 2: "white"}[val]
+
+    def _cmd_showboard(self, args):
+        s = self.agent.stones()
+        size = self.agent.size
+        rows = []
+        for y in range(size - 1, -1, -1):
+            row = [".XO"[int(s[y, x])] for x in range(size)]
+            rows.append(f"{y + 1:2d} " + " ".join(row))
+        rows.append("   " + " ".join(COLS_FOR(size)))
+        return True, "\n" + "\n".join(rows)
+
+    # -- scoring -------------------------------------------------------
+
+    def _cmd_final_score(self, args):
+        return True, self.agent.final_score_str()
+
+    def _cmd_final_status_list(self, args):
+        which = args[0] if args else "dead"
+        own = self.agent.ownership().reshape(
+            self.agent.size, self.agent.size
+        )
+        s = self.agent.stones()
+        size = self.agent.size
+        out = []
+        for y in range(size):
+            for x in range(size):
+                stone = int(s[y, x])
+                if stone == 0:
+                    continue
+                stone_color = stone - 1  # 0 black / 1 white
+                owner = own[y, x]  # +1 black
+                dead = (stone_color == 0 and owner < 0) or (
+                    stone_color == 1 and owner > 0
+                )
+                if (which == "dead") == dead:
+                    out.append(vertex_to_gtp(y * size + x, size))
+        return True, " ".join(out)
+
+    # -- handicap ------------------------------------------------------
+
+    def _cmd_fixed_handicap(self, args):
+        k = int(args[0])
+        pts = _star_points(self.agent.size, k)
+        if not pts or len(pts) != k:
+            return False, "invalid handicap"
+        import jax.numpy as jnp
+
+        verts = []
+        for y, x in pts:
+            v = y * self.agent.size + x
+            self.agent.play(0, v)
+            verts.append(vertex_to_gtp(v, self.agent.size))
+        # handicap: white moves next; count feeds the area-rule komi
+        # penalty (game_state.cc:699-707)
+        self.agent.state = self.agent.state.replace(
+            to_move=jnp.ones_like(self.agent.state.to_move),
+            handicap=jnp.full_like(self.agent.state.handicap, k),
+        )
+        return True, " ".join(verts)
+
+    def _cmd_place_free_handicap(self, args):
+        return self._cmd_fixed_handicap(args)
+
+    def _cmd_set_free_handicap(self, args):
+        import jax.numpy as jnp
+
+        for tok in args:
+            v = gtp_to_vertex(tok, self.agent.size)
+            self.agent.play(0, v)
+        self.agent.state = self.agent.state.replace(
+            to_move=jnp.ones_like(self.agent.state.to_move),
+            handicap=jnp.full_like(self.agent.state.handicap, len(args)),
+        )
+        return True, ""
+
+    def _cmd_get_handicap(self, args):
+        return True, str(int(self.agent.state.handicap[0]))
+
+    # -- time ----------------------------------------------------------
+
+    def _cmd_time_settings(self, args):
+        self.time.time_settings(float(args[0]), float(args[1]), int(args[2]))
+        return True, ""
+
+    def _cmd_kgs_time_settings(self, args):
+        system = args[0]
+        vals = [float(a) for a in args[1:]] + [0, 0, 0]
+        self.time.kgs_time_settings(system, vals[0], vals[1], vals[2])
+        return True, ""
+
+    def _cmd_time_left(self, args):
+        color = _color_arg(args[0])
+        self.time.time_left(color, float(args[1]), int(args[2]))
+        return True, ""
+
+    def _cmd_kgs_game_over(self, args):
+        return True, ""
+
+    def _cmd_kgs_chat(self, args):
+        return True, "I'm a TPU"
+
+    # -- sgf -----------------------------------------------------------
+
+    def _cmd_loadsgf(self, args):
+        games = SGF.parse_file(args[0])
+        if not games:
+            return False, "invalid SGF file"
+        game = games[0]
+        movenum = int(args[1]) if len(args) > 1 else 10**9
+        self.agent.set_boardsize(game.board_size())
+        self.agent.set_komi(game.komi())
+        for color, yx in game.handicap_stones():
+            self.agent.play(color, yx[0] * game.board_size() + yx[1])
+        for i, (color, vertex) in enumerate(game.moves()):
+            if i >= movenum:
+                break
+            v = vertex if vertex is not None else self.agent.size**2
+            self.agent.play(color, v)
+        return True, ""
+
+    def _cmd_printsgf(self, args):
+        moves = [
+            (c, v if v < self.agent.size**2 else None)
+            for c, v in self.agent.moves
+        ]
+        text = SGF.game_to_sgf(self.agent.size, self.agent.komi, moves)
+        if args:
+            with open(args[0], "w") as f:
+                f.write(text)
+            return True, ""
+        return True, text
+
+    # -- engine debug / options ----------------------------------------
+
+    def _cmd_sayuri_planes(self, args):
+        return True, self.agent.planes_str()
+
+    def _cmd_sayuri_raw_nn(self, args):
+        evals = self.agent.raw_nn()
+        out = []
+        size = self.agent.size
+        probs = evals["priors"]
+        out.append("policy:")
+        for y in range(size):
+            out.append(
+                " ".join(f"{probs[y * size + x]:.4f}" for x in range(size))
+            )
+        out.append(f"pass: {probs[-1]:.4f}")
+        out.append(f"black wl: {evals['black_wl']:.4f}")
+        out.append(f"black score: {evals['black_score']:.2f}")
+        return True, "\n".join(out)
+
+    def _cmd_sayuri_setoption(self, args):
+        # sayuri-setoption name <key> value <value> (gtp.cc:1395-1456)
+        kv = " ".join(args)
+        try:
+            name = kv.split("name", 1)[1].split("value")[0].strip()
+            value = kv.split("value", 1)[1].strip()
+        except IndexError:
+            return False, "syntax: sayuri-setoption name <n> value <v>"
+        if name == "playouts":
+            self.agent.playouts = int(value)
+        elif name == "resign threshold":
+            pass
+        else:
+            return False, f"unsupported option {name}"
+        return True, ""
+
+    def _cmd_netbench(self, args):
+        import time as _t
+
+        n_evals = int(args[0]) if args else 16
+        self.agent.eval_fn(self.agent.state)  # warmup/compile
+        t0 = _t.monotonic()
+        for _ in range(n_evals):
+            out = self.agent.eval_fn(self.agent.state)
+        import jax
+
+        jax.block_until_ready(out.priors)
+        dt = _t.monotonic() - t0
+        return True, f"{n_evals} evals in {dt:.3f}s ({n_evals / dt:.1f}/s)"
+
+    def _cmd_benchmark(self, args):
+        playouts = int(args[0]) if args else 200
+        import time as _t
+
+        t0 = _t.monotonic()
+        tree, stats = self.agent.think(playouts)
+        dt = _t.monotonic() - t0
+        return True, f"{stats['playouts']} playouts in {dt:.2f}s " \
+                     f"({stats['playouts'] / dt:.1f} p/s)"
+
+    # -- analysis ------------------------------------------------------
+
+    def _analyze_body(self, fmt="lz"):
+        tree, _ = self.agent.think()
+        rows = self.agent.analysis_data(tree)
+        out = []
+        for r in rows:
+            mv = vertex_to_gtp(
+                r["move"] if r["move"] < self.agent.size**2 else None,
+                self.agent.size,
+            )
+            if fmt == "kata":
+                out.append(
+                    f"info move {mv} visits {r['visits']} "
+                    f"winrate {r['winrate']:.6f} prior {r['prior']:.6f} "
+                    f"order {r['order']}"
+                )
+            else:
+                out.append(
+                    f"info move {mv} visits {r['visits']} "
+                    f"winrate {int(r['winrate'] * 10000)} "
+                    f"prior {int(r['prior'] * 10000)} lcb "
+                    f"{int(r['lcb'] * 10000)} order {r['order']}"
+                )
+        return " ".join(out)
+
+    def _cmd_lz_analyze(self, args):
+        return True, self._analyze_body("lz")
+
+    def _cmd_kata_analyze(self, args):
+        return True, self._analyze_body("kata")
+
+    def _cmd_sayuri_analyze(self, args):
+        return True, self._analyze_body("kata")
+
+    def _cmd_lz_genmove_analyze(self, args):
+        color = _color_arg(args[0]) if args else self.agent.to_move()
+        move, tree = self.agent.genmove(color)
+        body = self._fmt_rows(tree, "lz")
+        mv = (
+            "resign"
+            if move == "resign"
+            else vertex_to_gtp(
+                move if move < self.agent.size**2 else None, self.agent.size
+            )
+        )
+        return True, f"{body}\nplay {mv}"
+
+    _cmd_kata_genmove_analyze = _cmd_lz_genmove_analyze
+    _cmd_sayuri_genmove_analyze = _cmd_lz_genmove_analyze
+
+    def _fmt_rows(self, tree, fmt):
+        rows = self.agent.analysis_data(tree)
+        out = []
+        for r in rows:
+            mv = vertex_to_gtp(
+                r["move"] if r["move"] < self.agent.size**2 else None,
+                self.agent.size,
+            )
+            out.append(
+                f"info move {mv} visits {r['visits']} winrate "
+                f"{int(r['winrate'] * 10000)} order {r['order']}"
+            )
+        return " ".join(out)
+
+
+def COLS_FOR(size):
+    from sayuri_tpu.gtp.engine import COLS
+
+    return [COLS[x] for x in range(size)]
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="sayuri-tpu GTP engine")
+    ap.add_argument("--boardsize", type=int, default=19)
+    ap.add_argument("--komi", type=float, default=7.5)
+    ap.add_argument("--playouts", type=int, default=400)
+    ap.add_argument("--weights", type=str, default=None)
+    args = ap.parse_args()
+
+    kwargs = dict(
+        boardsize=args.boardsize, komi=args.komi, playouts=args.playouts
+    )
+    if args.weights:
+        from sayuri_tpu.models import weights_io
+
+        net_cfg, variables = weights_io.load_checkpoint_for_inference(
+            args.weights
+        )
+        kwargs.update(net_cfg=net_cfg, variables=variables)
+    GtpLoop(**kwargs).run()
+
+
+if __name__ == "__main__":
+    main()

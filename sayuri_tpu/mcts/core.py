@@ -125,6 +125,10 @@ class Tree:
     root_ownership: jnp.ndarray  # [B, HW] running average (node.cc:724-733)
     # gumbel root state
     root_gumbel: jnp.ndarray     # [B, A] gumbel noise (node.cc:1606+)
+    # per-lane exploration switches: the reference swaps in a "no exploring"
+    # parameter set for fast-search lanes (search.cc:33-45, 269-271)
+    use_noise: jnp.ndarray       # [B] bool
+    use_gumbel: jnp.ndarray      # [B] bool
 
     @property
     def num_actions(self) -> int:
@@ -161,15 +165,32 @@ class MCTS:
     # tree construction
     # ------------------------------------------------------------------
 
-    def init_tree(self, root_states: GoState, rng) -> Tree:
+    def init_tree(
+        self,
+        root_states: GoState,
+        rng,
+        use_noise=None,
+        use_gumbel=None,
+        prior_mask=None,
+    ) -> Tree:
         """Evaluate roots and build a fresh forest (PrepareRootNode,
-        search.cc:139-181 + node.cc:32)."""
+        search.cc:139-181 + node.cc:32). `use_noise`/`use_gumbel` are
+        per-lane overrides of the config flags (fast-search lanes disable
+        exploring, search.cc:33-45). `prior_mask` ([B, A] bool) zeroes root
+        priors, e.g. for the superko purge (KillRootSuperkos,
+        node.cc:1824-1841)."""
         cfg = self.cfg
         b = root_states.stones.shape[0]
         n_nodes, A = cfg.max_nodes, self.A
         hw = self.env.n * self.env.n
 
         evals = self.eval_fn(root_states)
+        if prior_mask is not None:
+            priors = jnp.where(prior_mask, evals.priors, 0.0)
+            priors = priors / jnp.maximum(
+                jnp.sum(priors, axis=-1, keepdims=True), 1e-12
+            )
+            evals = evals._replace(priors=priors)
 
         def zeros(shape, dt=jnp.float32):
             return jnp.zeros(shape, dt)
@@ -207,6 +228,14 @@ class MCTS:
             root_noise=noise,
             root_ownership=evals.black_ownership,
             root_gumbel=gumbel,
+            use_noise=(
+                jnp.full((b,), cfg.dirichlet_noise)
+                if use_noise is None
+                else use_noise
+            ),
+            use_gumbel=(
+                jnp.full((b,), cfg.gumbel) if use_gumbel is None else use_gumbel
+            ),
         )
         return tree
 
@@ -336,7 +365,7 @@ class MCTS:
         # policy with root noise (node.cc:576-585)
         if cfg.dirichlet_noise:
             psa = jnp.where(
-                is_root[:, None],
+                (is_root & tree.use_noise)[:, None],
                 p_raw * (1 - cfg.dirichlet_epsilon)
                 + cfg.dirichlet_epsilon * tree.root_noise,
                 p_raw,
@@ -385,7 +414,9 @@ class MCTS:
             # (ProcessGumbelLogits returning false, node.cc:1729-1731)
             g_ok = jnp.any(jnp.isfinite(gumbel_scores), axis=-1)
             scores = jnp.where(
-                (is_root & g_ok)[:, None], gumbel_scores, scores
+                (is_root & tree.use_gumbel & g_ok)[:, None],
+                gumbel_scores,
+                scores,
             )
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
@@ -393,11 +424,17 @@ class MCTS:
     # one simulation for the whole batch
     # ------------------------------------------------------------------
 
-    def simulate(self, tree: Tree, sim_idx) -> Tree:
-        """One playout per tree (PlaySimulation, search.cc:65-137)."""
+    def simulate(self, tree: Tree, sim_idx, active=None) -> Tree:
+        """One playout per tree (PlaySimulation, search.cc:65-137).
+
+        `active`: optional [B] bool — lanes past their playout budget are
+        frozen (playout-cap randomization gives lanes different budgets,
+        search.cc:948-1005)."""
         cfg = self.cfg
         b = tree.visits.shape[0]
         b_idx = jnp.arange(b)
+        if active is None:
+            active = jnp.ones((b,), bool)
         root_score = tree.acc_score[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
 
         # ---- descent ----
@@ -475,6 +512,7 @@ class MCTS:
             (existing_child < 0)
             & (new_idx < cfg.max_nodes)
             & ~tree.terminal[:, 0]
+            & active
         )
         node_for_stats = jnp.where(
             existing_child >= 0, existing_child, jnp.minimum(new_idx, cfg.max_nodes - 1)
@@ -549,14 +587,14 @@ class MCTS:
             )
 
         # leaf node first (skip if the tree is full and nothing was expanded)
-        leaf_ok = (can_expand | (existing_child >= 0)) & ~reuse_root
+        leaf_ok = (can_expand | (existing_child >= 0)) & ~reuse_root & active
         tree = welford_update(
             tree, node_for_stats, black_wl, draw, black_score, leaf_ok
         )
         # then the recorded path (root..parent)
         def backup_body(d, tree_):
             idx = path[:, d]
-            ok = idx >= 0
+            ok = (idx >= 0) & active
             return welford_update(
                 tree_, jnp.maximum(idx, 0), black_wl, draw, black_score, ok
             )
@@ -564,22 +602,27 @@ class MCTS:
         tree = lax.fori_loop(0, cfg.max_depth, backup_body, tree)
         # root terminal lanes: update root once
         tree = welford_update(tree, jnp.zeros_like(node_for_stats),
-                              black_wl, draw, black_score, reuse_root)
+                              black_wl, draw, black_score, reuse_root & active)
 
         # root ownership running average (node.cc:724-733)
         rv = tree.visits[:, 0].astype(jnp.float32)
         tree = tree.replace(
-            root_ownership=tree.root_ownership
-            + (black_own - tree.root_ownership) / rv[:, None]
+            root_ownership=jnp.where(
+                active[:, None],
+                tree.root_ownership
+                + (black_own - tree.root_ownership) / rv[:, None],
+                tree.root_ownership,
+            )
         )
         return tree
 
-    def run(self, tree: Tree, num_sims: int) -> Tree:
+    def run(self, tree: Tree, num_sims: int, budget=None) -> Tree:
         """Run `num_sims` lockstep simulations (Computation's playout loop,
-        search.cc:342-386)."""
+        search.cc:342-386). `budget` ([B] int32) caps playouts per lane."""
 
         def body(i, t):
-            return self.simulate(t, i)
+            active = None if budget is None else i < budget
+            return self.simulate(t, i, active)
 
         return lax.fori_loop(0, num_sims, body, tree)
 
@@ -607,12 +650,23 @@ class MCTS:
         wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
         return jnp.where(nv > 0, wl, 0.0)
 
-    def best_move(self, tree: Tree) -> jnp.ndarray:
+    def best_move(self, tree: Tree, allow_pass=None) -> jnp.ndarray:
         """LCB-adjusted best move (GetBestMove + LCB, node.cc:792-811,
         1145-1216): among root children, rank by visit count, break ties /
-        adjust with a lower-confidence bound on the value."""
+        adjust with a lower-confidence bound on the value. `allow_pass`
+        ([B] bool) masks the pass move when the self-play forbid-pass rule
+        fires (search.cc:870-946)."""
         cfg = self.cfg
         visits = self.root_child_visits(tree)
+        if allow_pass is not None:
+            pass_a = tree.num_actions - 1
+            # keep pass only if it is the sole visited move
+            others = visits.at[:, pass_a].set(0)
+            has_other = jnp.any(others > 0, axis=-1)
+            kill = ~allow_pass & has_other
+            visits = visits.at[:, pass_a].set(
+                jnp.where(kill, 0, visits[:, pass_a])
+            )
         color = tree.states.to_move[:, 0]
         q = self.root_child_q(tree, color)
 

@@ -1,0 +1,105 @@
+"""Network evaluator: GoState batch -> NetEvals for the search.
+
+The JAX-native replacement for the reference's Network facade
+(/root/reference/src/neural/network.cc): encoder + forward + output
+post-processing (policy softmax over legal moves, wdl -> winrate, score
+head). Output conventions follow the engine's v2 mapping
+(blas_forward_pipe.cc:566-620): value = (wdl_win - wdl_loss + 1)/2,
+score = scores[0] (the final-score head, already x20 in the network).
+
+Optional symmetry ensembling mirrors network.h:17 (random symmetry per
+query): the input planes are transformed, spatial outputs inverse-
+transformed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sayuri_tpu.game.state import GoEnv, GoState
+from sayuri_tpu.mcts.core import NetEvals
+from sayuri_tpu.models import symmetry as S
+from sayuri_tpu.models.encoder import encode
+from sayuri_tpu.models.network import SayuriNet
+
+
+def make_eval_fn(
+    env: GoEnv,
+    net: SayuriNet,
+    variables,
+    policy_temp: float = 1.0,
+    symmetry: int = 0,
+):
+    """Build eval_fn(states [B]) -> NetEvals. `variables` holds
+    {'params', 'batch_stats'}; `symmetry` is a static symmetry index
+    (0 = identity; callers wanting random-symmetry ensembling pick the
+    index per call and rebuild via the cached inner function)."""
+    n = env.n
+
+    def eval_fn(states: GoState) -> NetEvals:
+        planes = jax.vmap(lambda s: encode(env, s))(states)  # [B, n, n, 43]
+        if symmetry:
+            planes = S.transform_planes(planes, symmetry)
+        out = net.apply(variables, planes, train=False)
+
+        prob = out["prob"]
+        ownership = out["ownership"]
+        if symmetry:
+            prob = S.inverse_transform_policy(prob, symmetry, n)
+            ownership = S.inverse_transform_policy(ownership, symmetry, n)
+
+        legal = jax.vmap(env.legal_action_mask)(states)
+        logits = jnp.where(legal, prob / policy_temp, -jnp.inf)
+        priors = jax.nn.softmax(logits, axis=-1)
+        priors = jnp.where(legal, priors, 0.0)
+
+        wdl = jax.nn.softmax(out["wdl"], axis=-1)
+        stm_wl = (wdl[:, 0] - wdl[:, 2] + 1.0) / 2.0
+        stm_score = out["scores"][:, 0]
+
+        is_black = states.to_move == 0
+        black_wl = jnp.where(is_black, stm_wl, 1.0 - stm_wl)
+        black_score = jnp.where(is_black, stm_score, -stm_score)
+        black_ownership = ownership * jnp.where(is_black, 1.0, -1.0)[:, None]
+
+        return NetEvals(
+            priors=priors,
+            black_wl=black_wl,
+            draw=wdl[:, 1],
+            black_score=black_score,
+            black_ownership=black_ownership,
+        )
+
+    return eval_fn
+
+
+def make_dummy_eval_fn(env: GoEnv, rng_seed: int = 0):
+    """Random-output evaluator for weightless runs (DummyForward,
+    network.cc:144-165): uniform-ish random legal priors, ~0.5 value."""
+
+    def eval_fn(states: GoState) -> NetEvals:
+        b = states.stones.shape[0]
+        legal = jax.vmap(env.legal_action_mask)(states)
+        # fold the position hash into the noise so it is deterministic
+        # per position (keeps search results reproducible)
+        noise = jax.vmap(
+            lambda h: jax.random.uniform(
+                jax.random.wrap_key_data(h), (env.num_actions,)
+            )
+        )(states.hash)
+        priors = jnp.where(legal, 0.5 + noise, 0.0)
+        priors = priors / jnp.maximum(
+            jnp.sum(priors, axis=-1, keepdims=True), 1e-9
+        )
+        return NetEvals(
+            priors=priors,
+            black_wl=jnp.full((b,), 0.5),
+            draw=jnp.zeros((b,)),
+            black_score=jnp.zeros((b,)),
+            black_ownership=jnp.zeros((b, env.n * env.n)),
+        )
+
+    return eval_fn

@@ -1,0 +1,165 @@
+"""Self-play pipe: game generation + data writing + weights refresh.
+
+Re-design of the reference SelfPlayPipe (/root/reference/src/selfplay/
+pipe.cc): N parallel worker threads + a writer thread become one batched
+actor emitting whole game batches; the filesystem contract is preserved —
+gzip chunks to tdata/<run_id>/ and vdata/<run_id>/ (90/10 split,
+pipe.cc:143-151,184), SGFs to sgf/, query counts to net_queries/, and the
+"halt and reload when new weights appear" protocol against weights_dir
+(Engine::ShouldHalt, engine.cc:63-90)."""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from sayuri_tpu.game import sgf as SGF
+from sayuri_tpu.game.state import GoEnv
+from sayuri_tpu.mcts.core import MCTS, SearchConfig
+from sayuri_tpu.models.evaluator import make_dummy_eval_fn, make_eval_fn
+from sayuri_tpu.models.network import SayuriNet
+from sayuri_tpu.selfplay import data as D
+from sayuri_tpu.selfplay.actor import (
+    SelfplayActor,
+    SelfplayConfig,
+    assemble_targets,
+)
+
+
+def newest_weights(weights_dir) -> str | None:
+    """Newest weight file in the dir (Engine picks by mtime,
+    engine.cc:63-86)."""
+    if not weights_dir or not Path(weights_dir).is_dir():
+        return None
+    files = [
+        p
+        for p in Path(weights_dir).iterdir()
+        if p.suffix in (".txt", ".ckpt") or p.name.endswith(".bin.txt")
+    ]
+    if not files:
+        return None
+    return str(max(files, key=os.path.getmtime))
+
+
+class SelfPlayPipe:
+    def __init__(
+        self,
+        out_dir: str,
+        boardsize: int = 9,
+        komi: float = 7.5,
+        parallel_games: int = 32,
+        search_cfg: SearchConfig | None = None,
+        sp_cfg: SelfplayConfig | None = None,
+        weights_dir: str | None = None,
+        seed: int = 0,
+    ):
+        self.out_dir = Path(out_dir)
+        self.env = GoEnv(n=boardsize)
+        self.komi = komi
+        self.parallel_games = parallel_games
+        self.weights_dir = weights_dir
+        self.search_cfg = search_cfg or SearchConfig(
+            max_nodes=176, gumbel=True
+        )
+        self.sp_cfg = sp_cfg or SelfplayConfig()
+        self.rng = jax.random.PRNGKey(seed)
+        self.run_id = f"{int(time.time()):x}{seed:02x}"
+        self.current_weights = None
+        self.games_done = 0
+        self.total_queries = 0
+        self._build_actor()
+
+        for sub in ("sgf", "net_queries"):
+            (self.out_dir / sub).mkdir(parents=True, exist_ok=True)
+
+    def _build_actor(self):
+        path = newest_weights(self.weights_dir)
+        if path:
+            from sayuri_tpu.models import weights_io
+
+            net_cfg, variables = weights_io.load_checkpoint_for_inference(path)
+            net = SayuriNet(
+                type(net_cfg)(**{**net_cfg.__dict__, "boardsize": self.env.n})
+            )
+            eval_fn = make_eval_fn(self.env, net, variables)
+            self.current_weights = path
+        else:
+            eval_fn = make_dummy_eval_fn(self.env)
+            self.current_weights = None
+        mcts = MCTS(self.env, eval_fn, self.search_cfg)
+        sp = self.sp_cfg
+        if self.current_weights is None:
+            # dummy net: playouts / 10 (search.cc:996-1001)
+            sp = type(sp)(
+                **{
+                    **sp.__dict__,
+                    "playouts": max(1, sp.playouts // 10),
+                    "fastsearch_playouts": max(
+                        1, sp.fastsearch_playouts // 10
+                    ),
+                }
+            )
+        self.actor = SelfplayActor(self.env, mcts, sp)
+
+    def should_reload(self) -> bool:
+        """New weights appeared (pipe.cc:246-258)."""
+        return newest_weights(self.weights_dir) != self.current_weights
+
+    def play_round(self):
+        """One batch of games: play, serialize, write chunks + SGFs."""
+        self.rng, sub = jax.random.split(self.rng)
+        states = self.env.new_batch(self.parallel_games, komi=self.komi)
+        final, records = self.actor.play_games(states, sub)
+        targets = assemble_targets(self.env, final, records)
+        games = D.games_to_text(self.env, records, targets)
+        n = D.write_chunks(
+            games, str(self.out_dir), self.run_id, seed=self.games_done
+        )
+        self._write_sgfs(records, targets)
+        self._write_queries(records)
+        self.games_done += self.parallel_games
+        return n
+
+    def _write_sgfs(self, records, targets):
+        end = np.asarray(targets["end"])
+        winner = np.asarray(targets["winner"])
+        sgf_dir = self.out_dir / "sgf"
+        for i in range(self.parallel_games):
+            moves = []
+            for t in range(int(end[i])):
+                rec = records[t]
+                color = int(np.asarray(rec.states.to_move)[i])
+                mv = int(np.asarray(rec.move)[i])
+                v = mv if mv < self.env.pass_action else None
+                moves.append((color, v))
+            result = {1: "B+R", -1: "W+R", 0: "0"}[int(winner[i])]
+            text = SGF.game_to_sgf(
+                self.env.n, self.komi, moves, result=result
+            )
+            idx = self.games_done + i
+            (sgf_dir / f"{self.run_id}_{idx:06d}.sgf").write_text(text)
+
+    def _write_queries(self, records):
+        """Accumulate NN query counts for compute accounting
+        (pipe.cc:161-175, check_accum_queries.py)."""
+        # one eval per playout per active lane + one root eval per move
+        total = 0
+        for rec in records:
+            active = int(np.asarray(rec.active).sum())
+            total += active * (self.actor.cfg.playouts + 1)
+        self.total_queries += total
+        path = self.out_dir / "net_queries" / f"{self.run_id}.txt"
+        path.write_text(f"{self.games_done} {self.total_queries}\n")
+
+    def loop(self, max_games: int):
+        """Generate until max_games, reloading weights between rounds
+        (SelfPlayPipe::Loop, pipe.cc:298)."""
+        while self.games_done < max_games:
+            if self.should_reload():
+                self._build_actor()
+            self.play_round()
+        return self.games_done
