@@ -1,0 +1,125 @@
+"""Mode dispatch: gtp / selfplay / benchmark.
+
+The reference binary's entry point (/root/reference/src/main.cc:42-57)
+maps here: `python -m sayuri_tpu --mode gtp|selfplay|benchmark [flags]
+[--config file]`.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from sayuri_tpu.config import Options
+
+
+def run_gtp(opts: Options):
+    from sayuri_tpu.gtp.loop import GtpLoop
+
+    kwargs = dict(
+        boardsize=opts.get("boardsize"),
+        komi=opts.get("komi"),
+        playouts=opts.get("playouts"),
+        search_cfg=opts.search_config(),
+    )
+    wf = opts.get("weights_file")
+    if wf:
+        from sayuri_tpu.models import weights_io
+
+        net_cfg, variables = weights_io.load_checkpoint_for_inference(wf)
+        kwargs.update(net_cfg=net_cfg, variables=variables)
+    from sayuri_tpu.gtp.engine import Agent
+
+    GtpLoop(agent=Agent(**kwargs)).run()
+
+
+def run_selfplay(opts: Options):
+    from sayuri_tpu.selfplay.pipe import SelfPlayPipe
+
+    pipe = SelfPlayPipe(
+        out_dir=opts.get("target_directory") or "selfplay-out",
+        boardsize=opts.get("boardsize"),
+        komi=opts.get("komi"),
+        parallel_games=opts.get("parallel_games"),
+        search_cfg=opts.search_config(),
+        sp_cfg=opts.selfplay_config(),
+        weights_dir=opts.get("weights_dir") or None,
+    )
+    max_games = opts.get("num_games") or opts.get("parallel_games")
+    pipe.loop(max_games)
+    print(f"selfplay done: {pipe.games_done} games -> {pipe.out_dir}")
+
+
+def run_benchmark(opts: Options):
+    """Playout-throughput benchmark (benchmark.cc:110-161 semantics:
+    playouts/s + the KataGo Elo-effect estimate of benchmark.cc:14-28)."""
+    import math
+    import time
+
+    import jax
+
+    from sayuri_tpu.game.state import GoEnv
+    from sayuri_tpu.mcts.core import MCTS
+    from sayuri_tpu.models.evaluator import make_dummy_eval_fn, make_eval_fn
+
+    queries = opts.get("benchmark_query") or ["bg:64:96"]
+    boardsize = opts.get("boardsize")
+    env = GoEnv(n=boardsize)
+
+    wf = opts.get("weights_file")
+    if wf:
+        from sayuri_tpu.models import weights_io
+        from sayuri_tpu.models.network import NetConfig, SayuriNet
+
+        net_cfg, variables = weights_io.load_checkpoint_for_inference(wf)
+        net_cfg = NetConfig(**{**net_cfg.__dict__, "boardsize": boardsize})
+        eval_fn = make_eval_fn(env, SayuriNet(net_cfg), variables)
+    else:
+        eval_fn = make_dummy_eval_fn(env)
+
+    for q in queries:
+        parts = q.split(":")
+        batch = int(parts[1]) if len(parts) > 1 else 64
+        playouts = int(parts[2]) if len(parts) > 2 else 96
+
+        cfg = opts.search_config(max_nodes=playouts + 16)
+        mcts = MCTS(env, eval_fn, cfg)
+
+        @jax.jit
+        def search(states, rng):
+            tree = mcts.init_tree(states, rng)
+            return mcts.run(tree, playouts).visits[:, 0]
+
+        states = env.new_batch(batch, komi=opts.get("komi"))
+        rng = jax.random.PRNGKey(0)
+        search(states, rng).block_until_ready()  # compile
+        t0 = time.monotonic()
+        iters = 3
+        for i in range(iters):
+            out = search(states, jax.random.fold_in(rng, i))
+        out.block_until_ready()
+        dt = time.monotonic() - t0
+        rate = iters * batch * playouts / dt
+        # ad-hoc Elo effect vs 800-playout baseline (benchmark.cc:14-28)
+        base_p, p = 800.0, rate / batch
+        elo = 250.0 * math.log2(max(p, 1) / base_p)
+        print(
+            f"batch {batch} x {playouts} playouts: {rate:.1f} p/s "
+            f"(per-game {p:.1f} p/s, elo-effect {elo:+.0f})"
+        )
+
+
+def main(argv=None):
+    opts = Options().parse_args(argv if argv is not None else sys.argv[1:])
+    mode = opts.get("mode")
+    if mode == "gtp":
+        run_gtp(opts)
+    elif mode == "selfplay":
+        run_selfplay(opts)
+    elif mode == "benchmark":
+        run_benchmark(opts)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()

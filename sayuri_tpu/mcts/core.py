@@ -561,48 +561,53 @@ class MCTS:
         )
 
         # ---- backup: Update() along path + the leaf (node.cc:692-734) ----
-        def welford_update(tree_, idx, wl, dr, sc, valid):
-            old_v = tree_.visits[b_idx, idx]
-            old_wl = tree_.acc_wl[b_idx, idx]
-            old_sc = tree_.acc_score[b_idx, idx]
-
-            def wdelta(x, old_acc, ov):
-                old_delta = jnp.where(ov > 0, x - old_acc / jnp.maximum(ov, 1), 0.0)
-                new_delta = x - (old_acc + x) / (ov + 1)
-                return old_delta * new_delta
-
-            vi = valid.astype(jnp.int32)
-            vf = valid.astype(jnp.float32)
-            return tree_.replace(
-                visits=tree_.visits.at[b_idx, idx].add(vi),
-                acc_wl=tree_.acc_wl.at[b_idx, idx].add(wl * vf),
-                acc_draw=tree_.acc_draw.at[b_idx, idx].add(dr * vf),
-                acc_score=tree_.acc_score.at[b_idx, idx].add(sc * vf),
-                sq_eval_diff=tree_.sq_eval_diff.at[b_idx, idx].add(
-                    wdelta(wl, old_wl, old_v) * vf
-                ),
-                sq_score_diff=tree_.sq_score_diff.at[b_idx, idx].add(
-                    wdelta(sc, old_sc, old_v) * vf
-                ),
-            )
-
-        # leaf node first (skip if the tree is full and nothing was expanded)
+        # All path nodes of one simulation are distinct, so the whole
+        # backup is ONE gather + ONE scatter per stat array (no sequential
+        # walk — the array-search equivalent of the reference's per-node
+        # atomic adds).
         leaf_ok = (can_expand | (existing_child >= 0)) & ~reuse_root & active
-        tree = welford_update(
-            tree, node_for_stats, black_wl, draw, black_score, leaf_ok
-        )
-        # then the recorded path (root..parent)
-        def backup_body(d, tree_):
-            idx = path[:, d]
-            ok = (idx >= 0) & active
-            return welford_update(
-                tree_, jnp.maximum(idx, 0), black_wl, draw, black_score, ok
-            )
+        upd_idx = jnp.concatenate(
+            [
+                path,                                     # [B, D]
+                jnp.where(leaf_ok, node_for_stats, -1)[:, None],
+                jnp.where(reuse_root & active, 0, -1)[:, None],
+            ],
+            axis=1,
+        )                                                 # [B, D+2]
+        ok = (upd_idx >= 0) & active[:, None]
+        idx_safe = jnp.maximum(upd_idx, 0)
+        bb = b_idx[:, None]
 
-        tree = lax.fori_loop(0, cfg.max_depth, backup_body, tree)
-        # root terminal lanes: update root once
-        tree = welford_update(tree, jnp.zeros_like(node_for_stats),
-                              black_wl, draw, black_score, reuse_root & active)
+        old_v = tree.visits[bb, idx_safe]
+        old_wl = tree.acc_wl[bb, idx_safe]
+        old_sc = tree.acc_score[bb, idx_safe]
+
+        def wdelta(x, old_acc, ov):
+            old_delta = jnp.where(
+                ov > 0, x - old_acc / jnp.maximum(ov, 1), 0.0
+            )
+            new_delta = x - (old_acc + x) / (ov + 1)
+            return old_delta * new_delta
+
+        wl_e = black_wl[:, None]
+        dr_e = draw[:, None]
+        sc_e = black_score[:, None]
+        vi = ok.astype(jnp.int32)
+        vf = ok.astype(jnp.float32)
+        # masked-out entries scatter to node 0 with zero contribution
+        idx_scatter = jnp.where(ok, idx_safe, 0)
+        tree = tree.replace(
+            visits=tree.visits.at[bb, idx_scatter].add(vi),
+            acc_wl=tree.acc_wl.at[bb, idx_scatter].add(wl_e * vf),
+            acc_draw=tree.acc_draw.at[bb, idx_scatter].add(dr_e * vf),
+            acc_score=tree.acc_score.at[bb, idx_scatter].add(sc_e * vf),
+            sq_eval_diff=tree.sq_eval_diff.at[bb, idx_scatter].add(
+                wdelta(wl_e, old_wl, old_v) * vf
+            ),
+            sq_score_diff=tree.sq_score_diff.at[bb, idx_scatter].add(
+                wdelta(sc_e, old_sc, old_v) * vf
+            ),
+        )
 
         # root ownership running average (node.cc:724-733)
         rv = tree.visits[:, 0].astype(jnp.float32)

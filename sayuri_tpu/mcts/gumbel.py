@@ -61,7 +61,10 @@ def sh_sequence(considered_moves: int, prom_visits: int, threshold: int):
     for t, j in enumerate(seq):
         counts[j] = counts.get(j, 0) + 1
         occ[t] = counts[j]
-    return jnp.asarray(seq), jnp.asarray(occ)
+    # NOTE: numpy (not jnp) on purpose — this function is called inside jit
+    # traces and is lru_cached, so returning traced constants would leak
+    # tracers across traces.
+    return seq, occ
 
 
 def _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color):

@@ -330,6 +330,7 @@ def import_reference_weights(filename: str):
     params: dict = {}
     batch_stats: dict = {}
     si = 0
+    se_ratio = None
 
     for kind, scope in plan:
         if kind == "conv_block":
@@ -404,7 +405,13 @@ def import_reference_weights(filename: str):
                 f"{scope}/Dense_0",
                 {"kernel": np.transpose(w_.reshape(osz, isz)), "bias": bias},
             )
+            if scope.endswith("/se/squeeze") and se_ratio is None:
+                # SeRatio is not recorded in the file (the engine reads SE
+                # sizes from struct shapes, loader.cc); recover it here
+                se_ratio = max(1, cfg.residual_channels // osz)
 
+    if se_ratio is not None and se_ratio != cfg.se_ratio:
+        cfg = NetConfig(**{**cfg.__dict__, "se_ratio": se_ratio})
     return cfg, {"params": params, "batch_stats": batch_stats}
 
 

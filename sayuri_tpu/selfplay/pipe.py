@@ -55,17 +55,36 @@ class SelfPlayPipe:
         search_cfg: SearchConfig | None = None,
         sp_cfg: SelfplayConfig | None = None,
         weights_dir: str | None = None,
+        queries: list[str] | None = None,
         seed: int = 0,
     ):
+        from sayuri_tpu.selfplay.randomize import parse_queries
+
         self.out_dir = Path(out_dir)
-        self.env = GoEnv(n=boardsize)
+        self.sp_cfg = sp_cfg or SelfplayConfig()
+        self.dist = parse_queries(
+            queries,
+            default_size=boardsize,
+            default_komi=komi,
+            komi_stddev=self.sp_cfg.komi_stddev,
+            komi_big_stddev=self.sp_cfg.komi_big_stddev,
+            komi_big_stddev_prob=self.sp_cfg.komi_big_stddev_prob,
+            random_moves_factor=max(
+                self.sp_cfg.random_moves_factor, 0.0
+            ),
+            random_opening_prob=(
+                0.0 if self.sp_cfg.random_moves_factor <= 0 else 0.75
+            ),
+        )
+        # the board buffer covers the largest queried size (Engine adjusts
+        # the NN size to max_bsize, engine.cc:180-183)
+        self.env = GoEnv(n=max(boardsize, self.dist.max_boardsize))
         self.komi = komi
         self.parallel_games = parallel_games
         self.weights_dir = weights_dir
         self.search_cfg = search_cfg or SearchConfig(
             max_nodes=176, gumbel=True
         )
-        self.sp_cfg = sp_cfg or SelfplayConfig()
         self.rng = jax.random.PRNGKey(seed)
         self.run_id = f"{int(time.time()):x}{seed:02x}"
         self.current_weights = None
@@ -105,14 +124,36 @@ class SelfPlayPipe:
             )
         self.actor = SelfplayActor(self.env, mcts, sp)
 
+        # game randomizer shares the actor's evaluator; fair komi probes
+        # with a quick no-exploring search (engine.cc:313-323)
+        from sayuri_tpu.selfplay.randomize import GameRandomizer
+
+        def fair_komi_search(states):
+            import jax.numpy as jnp
+
+            rng = jax.random.PRNGKey(0)
+            tree = mcts.init_tree(states, rng)
+            tree = mcts.run(
+                tree, max(8, self.sp_cfg.fastsearch_playouts or 8)
+            )
+            v = jnp.maximum(tree.visits[:, 0], 1)
+            score_b = tree.acc_score[:, 0] / v
+            stm = states.to_move
+            return jnp.where(stm == 0, score_b, -score_b)
+
+        self.randomizer = GameRandomizer(
+            self.env, self.dist, mcts.eval_fn,
+            fair_komi_search=jax.jit(fair_komi_search),
+        )
+
     def should_reload(self) -> bool:
         """New weights appeared (pipe.cc:246-258)."""
         return newest_weights(self.weights_dir) != self.current_weights
 
     def play_round(self):
         """One batch of games: play, serialize, write chunks + SGFs."""
-        self.rng, sub = jax.random.split(self.rng)
-        states = self.env.new_batch(self.parallel_games, komi=self.komi)
+        self.rng, sub, sub2 = jax.random.split(self.rng, 3)
+        states = self.randomizer.prepare(self.parallel_games, sub2)
         final, records = self.actor.play_games(states, sub)
         targets = assemble_targets(self.env, final, records)
         games = D.games_to_text(self.env, records, targets)

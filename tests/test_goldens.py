@@ -35,11 +35,23 @@ def load(size):
     return json.load(open(path))
 
 
+_STEP_CACHE = {}
+
+
+def _jit_step(env):
+    if env.n not in _STEP_CACHE:
+        import jax
+
+        _STEP_CACHE[env.n] = jax.jit(env.step)
+    return _STEP_CACHE[env.n]
+
+
 def replay(env, record, komi):
+    step = _jit_step(env)
     s = env.new_state(size=None, komi=komi)
     for mv in record["moves"]:
         a = env.pass_action if mv == "pass" else int(mv)
-        s = env.step(s, a)
+        s = step(s, a)
     return s
 
 

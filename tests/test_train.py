@@ -69,14 +69,14 @@ class TestTrainer:
 
     def test_checkpoint_roundtrip(self, tmp_path):
         n = 5
-        trainer = Trainer(tiny_net(n), TrainConfig(batch_size=4))
+        trainer = Trainer(tiny_net(n), TrainConfig(batch_size=8))
         rng = np.random.RandomState(1)
-        planes, targets = fake_batch(rng, 4, n)
+        planes, targets = fake_batch(rng, 8, n)
         trainer.train_batch(planes, targets)
         path = str(tmp_path / "test.ckpt")
         trainer.save_checkpoint(path, extra={"run": 1})
 
-        trainer2 = Trainer(tiny_net(n), TrainConfig(batch_size=4))
+        trainer2 = Trainer(tiny_net(n), TrainConfig(batch_size=8))
         extra = trainer2.load_checkpoint(path)
         assert extra["run"] == 1
         assert int(trainer2.state.steps) == 1
@@ -87,13 +87,13 @@ class TestTrainer:
 
     def test_eval_matches_after_restore(self, tmp_path):
         n = 5
-        trainer = Trainer(tiny_net(n), TrainConfig(batch_size=4))
+        trainer = Trainer(tiny_net(n), TrainConfig(batch_size=8))
         rng = np.random.RandomState(2)
-        planes, targets = fake_batch(rng, 4, n)
+        planes, targets = fake_batch(rng, 8, n)
         e1 = trainer.eval_batch(planes, targets)
         path = str(tmp_path / "e.ckpt")
         trainer.save_checkpoint(path)
-        trainer2 = Trainer(tiny_net(n), TrainConfig(batch_size=4))
+        trainer2 = Trainer(tiny_net(n), TrainConfig(batch_size=8))
         trainer2.load_checkpoint(path)
         e2 = trainer2.eval_batch(planes, targets)
         assert abs(e1["loss"] - e2["loss"]) < 1e-5
