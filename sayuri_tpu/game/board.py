@@ -33,6 +33,22 @@ from jax import lax
 from sayuri_tpu.game.types import EMPTY, C_BLACK, C_WHITE, NO_VERTEX
 
 
+@functools.lru_cache(maxsize=None)
+def _use_pallas() -> bool:
+    """True on real TPU backends: board fixpoints run as Pallas kernels
+    (on-core loops) instead of XLA while-loops (one launch per ring).
+    CPU tests keep the portable XLA path."""
+    import os
+
+    if os.environ.get("SAYURI_NO_PALLAS"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
 # ---------------------------------------------------------------------------
 # masks and shifts
 # ---------------------------------------------------------------------------
@@ -109,10 +125,14 @@ def _sweep_or(m, allowed):
 def flood(seed, allowed):
     """Grow `seed` within `allowed` via 4-connectivity until fixpoint.
 
-    Row/column segmented-scan sweeps propagate through whole straight runs
-    at once, so the fixpoint arrives in O(#bends) sweeps (2-3 for typical
-    Go shapes) instead of O(path length) dilations — the sequential-depth
-    trick that keeps board analysis latency-bound code fast on TPU."""
+    TPU: one Pallas program with an on-core loop (ops/flood.py).
+    CPU/tests: row/column segmented-scan sweeps — fixpoint in O(#bends)
+    sweeps (2-3 for typical Go shapes) instead of O(path length)
+    dilations."""
+    if _use_pallas() and seed.ndim == 2:
+        from sayuri_tpu.ops.flood import flood_tpu
+
+        return flood_tpu(seed, allowed)
     seed = seed & allowed
 
     def body(carry):
@@ -139,6 +159,10 @@ def chain_labels(stone_mask):
     Replaces the union-find parent array (strings.h:8-19) with min-index
     label propagation: lbl <- min(lbl, neighbor lbl) over same-mask cells.
     """
+    if _use_pallas() and stone_mask.ndim == 2:
+        from sayuri_tpu.ops.flood import chain_labels_tpu
+
+        return chain_labels_tpu(stone_mask)
     n = stone_mask.shape[-1]
     big = jnp.iinfo(jnp.int32).max
     lbl0 = jnp.where(stone_mask, flat_iota(n), big)

@@ -130,13 +130,59 @@ def main():
         t1 = time.time()
         steps = 0
         losses = []
-        for planes, targets in loader:
-            losses.append(trainer.train_batch(planes, targets)["loss"])
-            steps += 1
-            if steps >= args.steps_per_round:
-                break
+        train_log = work / "training.log"
+        with open(train_log, "a") as lf:
+            for planes, targets in loader:
+                parts = trainer.train_batch(planes, targets)
+                losses.append(parts["loss"])
+                steps += 1
+                lf.write(
+                    f"step={int(trainer.state.steps)} "
+                    + " ".join(f"{k}={v:.6f}" for k, v in parts.items())
+                    + "\n"
+                )
+                if steps >= args.steps_per_round:
+                    break
         loader.close()
         t_tr = time.time() - t1
+
+        # validation pass on held-out vdata (train.py:590-621)
+        vchunks = list(
+            (work / "selfplay" / "vdata").rglob("*.txt.gz")
+        )
+        if vchunks:
+            vloader = DS.ChunkLoader(
+                vchunks[-20:],
+                nn_size=args.boardsize,
+                batch_size=args.batch_size,
+                down_sample_rate=1,
+                policy_surprise_factor=0.0,
+                shuffle_capacity=256,
+                virtual_buffsize=1,
+                loop=False,
+                seed=rnd,
+            )
+            vparts, vn = None, 0
+            for planes, targets in vloader:
+                p = trainer.eval_batch(planes, targets)
+                vparts = (
+                    p
+                    if vparts is None
+                    else {k: vparts[k] + p[k] for k in p}
+                )
+                vn += 1
+                if vn >= 10:
+                    break
+            vloader.close()
+            if vparts:
+                with open(work / "validation.log", "a") as lf:
+                    lf.write(
+                        f"step={int(trainer.state.steps)} "
+                        + " ".join(
+                            f"{k}={v / vn:.6f}" for k, v in vparts.items()
+                        )
+                        + "\n"
+                    )
 
         # checkpoint + gate (copy weights into weights_dir,
         # gate-worker.sh:29-39)
