@@ -47,8 +47,15 @@ def main():
 
     @jax.jit
     def search(states, rng):
-        tree = mcts.init_tree(states, rng)
-        tree = mcts.run(tree, playouts)
+        from sayuri_tpu.game import ladder as L
+
+        ctx = {
+            "ladders": jax.vmap(
+                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+            )(states)
+        }
+        tree = mcts.init_tree(states, rng, ctx=ctx)
+        tree = mcts.run(tree, playouts, ctx=ctx)
         return tree.visits[:, 0]
 
     states = env.new_batch(batch, komi=7.5)

@@ -86,8 +86,15 @@ def run_benchmark(opts: Options):
 
         @jax.jit
         def search(states, rng):
-            tree = mcts.init_tree(states, rng)
-            return mcts.run(tree, playouts).visits[:, 0]
+            from sayuri_tpu.game import ladder as L
+
+            ctx = {
+                "ladders": jax.vmap(
+                    lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+                )(states)
+            }
+            tree = mcts.init_tree(states, rng, ctx=ctx)
+            return mcts.run(tree, playouts, ctx=ctx).visits[:, 0]
 
         states = env.new_batch(batch, komi=opts.get("komi"))
         rng = jax.random.PRNGKey(0)

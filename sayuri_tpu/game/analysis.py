@@ -190,6 +190,20 @@ def pass_alive_area(stones, size, color):
     return alive_cells | vital_cells | pass_dead_cells
 
 
+def safe_and_ownership(stones, size):
+    """(safe [n,n] bool, ownership [n,n] int32): both colors' pass-alive
+    areas computed ONCE and shared between ComputeSafeArea and
+    ComputeScoreArea (the encoder needs both, encoder.cc:193-222; the
+    reference recomputes, board.cc:1602-1615 — here Benson is the single
+    most expensive analysis so it is deduplicated)."""
+    pa_b = pass_alive_area(stones, size, 0)
+    pa_w = pass_alive_area(stones, size, 1)
+    own = B.area_ownership(stones, size)
+    own = jnp.where(pa_b, 1, own)
+    own = jnp.where(pa_w, -1, own)
+    return pa_b | pa_w, own
+
+
 def safe_area(stones, size):
     """[n, n] bool: pass-alive/pass-dead area of either color
     (Board::ComputeSafeArea(result, mark_seki=false), board.cc:1706-1718)."""
@@ -200,9 +214,5 @@ def score_area_ownership(stones, size):
     """[n, n] int32 {-1, 0, +1}: reach-area ownership overridden by each
     color's pass-alive area (Board::ComputeScoreArea area rule,
     board.cc:1581-1616). +1 black, -1 white, 0 neutral."""
-    own = B.area_ownership(stones, size)
-    pa_b = pass_alive_area(stones, size, 0)
-    pa_w = pass_alive_area(stones, size, 1)
-    own = jnp.where(pa_b, 1, own)
-    own = jnp.where(pa_w, -1, own)
+    _, own = safe_and_ownership(stones, size)
     return own

@@ -163,11 +163,21 @@ class Agent:
         key = ("search", playouts)
         if key not in self._jit_cache:
             mcts = self.mcts
+            env = self.env
 
             @jax.jit
             def run(states, rng, prior_mask):
-                tree = mcts.init_tree(states, rng, prior_mask=prior_mask)
-                tree = mcts.run(tree, playouts)
+                from sayuri_tpu.game import ladder as L
+
+                ctx = {
+                    "ladders": jax.vmap(
+                        lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+                    )(states)
+                }
+                tree = mcts.init_tree(
+                    states, rng, prior_mask=prior_mask, ctx=ctx
+                )
+                tree = mcts.run(tree, playouts, ctx=ctx)
                 return tree
 
             self._jit_cache[key] = run
@@ -251,7 +261,7 @@ class Agent:
     def raw_nn(self):
         """Raw network heads at the current position (sayuri-raw_nn,
         gtp.cc:603-620)."""
-        evals = self.eval_fn(self.state)
+        evals = self.eval_fn(self.state, None)
         return jax.tree.map(lambda x: np.asarray(x)[0], evals._asdict())
 
     def planes_str(self) -> str:

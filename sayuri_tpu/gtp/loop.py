@@ -385,10 +385,10 @@ class GtpLoop:
         import time as _t
 
         n_evals = int(args[0]) if args else 16
-        self.agent.eval_fn(self.agent.state)  # warmup/compile
+        self.agent.eval_fn(self.agent.state, None)  # warmup/compile
         t0 = _t.monotonic()
         for _ in range(n_evals):
-            out = self.agent.eval_fn(self.agent.state)
+            out = self.agent.eval_fn(self.agent.state, None)
         import jax
 
         jax.block_until_ready(out.priors)

@@ -56,7 +56,10 @@ class NetEvals(NamedTuple):
     black_ownership: jnp.ndarray  # [B, HW] in [-1, 1]
 
 
-EvalFn = Callable[[GoState], NetEvals]
+# eval_fn(states, ctx) -> NetEvals. `ctx` is an arbitrary per-search pytree
+# (e.g. root-position ladder planes when ladder_mode="root"); None when the
+# evaluator needs nothing.
+EvalFn = Callable[[GoState, Any], NetEvals]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,6 +175,7 @@ class MCTS:
         use_noise=None,
         use_gumbel=None,
         prior_mask=None,
+        ctx=None,
     ) -> Tree:
         """Evaluate roots and build a fresh forest (PrepareRootNode,
         search.cc:139-181 + node.cc:32). `use_noise`/`use_gumbel` are
@@ -184,7 +188,7 @@ class MCTS:
         n_nodes, A = cfg.max_nodes, self.A
         hw = self.env.n * self.env.n
 
-        evals = self.eval_fn(root_states)
+        evals = self.eval_fn(root_states, ctx)
         if prior_mask is not None:
             priors = jnp.where(prior_mask, evals.priors, 0.0)
             priors = priors / jnp.maximum(
@@ -424,7 +428,7 @@ class MCTS:
     # one simulation for the whole batch
     # ------------------------------------------------------------------
 
-    def simulate(self, tree: Tree, sim_idx, active=None) -> Tree:
+    def simulate(self, tree: Tree, sim_idx, active=None, ctx=None) -> Tree:
         """One playout per tree (PlaySimulation, search.cc:65-137).
 
         `active`: optional [B] bool — lanes past their playout budget are
@@ -489,20 +493,35 @@ class MCTS:
         child_states = jax.vmap(self.env.step)(parent_states, leaf_action)
 
         # ---- evaluate ----
-        evals = self.eval_fn(child_states)
+        evals = self.eval_fn(child_states, ctx)
         term = child_states.terminated
         # terminal two-pass leaves valued by the final score
         # (search.cc:71-88); Tromp-Taylor ownership stands in for the full
-        # score-area pass (see mcts docstring)
-        own_map = jax.vmap(self.env.ownership)(child_states).reshape(b, -1)
-        t_score = jnp.sum(own_map, axis=-1).astype(jnp.float32) - jax.vmap(
-            self.env.komi_with_penalty
-        )(child_states)
+        # score-area pass (see mcts docstring). Terminal leaves are rare,
+        # so the whole scoring pass is behind a real branch.
+        def term_scores(_):
+            own_map = jax.vmap(self.env.ownership)(child_states).reshape(
+                b, -1
+            )
+            t_score = jnp.sum(own_map, axis=-1).astype(
+                jnp.float32
+            ) - jax.vmap(self.env.komi_with_penalty)(child_states)
+            return own_map.astype(jnp.float32), t_score
+
+        own_map, t_score = lax.cond(
+            jnp.any(term),
+            term_scores,
+            lambda _: (
+                jnp.zeros((b, self.env.n * self.env.n), jnp.float32),
+                jnp.zeros((b,), jnp.float32),
+            ),
+            None,
+        )
         t_wl = jnp.where(t_score > 0, 1.0, jnp.where(t_score < 0, 0.0, 0.5))
         black_wl = jnp.where(term, t_wl, evals.black_wl)
         black_score = jnp.where(term, t_score, evals.black_score)
         black_own = jnp.where(
-            term[:, None], own_map.astype(jnp.float32), evals.black_ownership
+            term[:, None], own_map, evals.black_ownership
         )
         draw = jnp.where(term, 0.0, evals.draw)
 
@@ -621,13 +640,14 @@ class MCTS:
         )
         return tree
 
-    def run(self, tree: Tree, num_sims: int, budget=None) -> Tree:
+    def run(self, tree: Tree, num_sims: int, budget=None, ctx=None) -> Tree:
         """Run `num_sims` lockstep simulations (Computation's playout loop,
-        search.cc:342-386). `budget` ([B] int32) caps playouts per lane."""
+        search.cc:342-386). `budget` ([B] int32) caps playouts per lane;
+        `ctx` is forwarded to the evaluator."""
 
         def body(i, t):
             active = None if budget is None else i < budget
-            return self.simulate(t, i, active)
+            return self.simulate(t, i, active, ctx)
 
         return lax.fori_loop(0, num_sims, body, tree)
 

@@ -71,8 +71,7 @@ def encode(env: GoEnv, state: GoState, ladder_planes=None) -> jnp.ndarray:
 
     # --- area x4 (encoder.cc:176-223); zero under territory scoring ---
     is_area = (state.rule == AREA_RULE).astype(jnp.float32)
-    safe = A.safe_area(state.stones, state.size)
-    owner = A.score_area_ownership(state.stones, state.size)
+    safe, owner = A.safe_and_ownership(state.stones, state.size)
     mine_val = jnp.where(to_move == 0, 1, -1)
     owner_mine = owner == mine_val
     owner_theirs = owner == -mine_val

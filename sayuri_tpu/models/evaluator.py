@@ -32,15 +32,37 @@ def make_eval_fn(
     variables,
     policy_temp: float = 1.0,
     symmetry: int = 0,
+    ladder_mode: str = "root",
 ):
-    """Build eval_fn(states [B]) -> NetEvals. `variables` holds
+    """Build eval_fn(states [B], ctx) -> NetEvals. `variables` holds
     {'params', 'batch_stats'}; `symmetry` is a static symmetry index
     (0 = identity; callers wanting random-symmetry ensembling pick the
-    index per call and rebuild via the cached inner function)."""
+    index per call and rebuild via the cached inner function).
+
+    `ladder_mode` controls the ladder feature planes (encoder.cc:248-265),
+    the single most expensive board analysis:
+    - "full": recompute per evaluated position (exact reference behavior)
+    - "root": reuse the ROOT position's ladder planes for every leaf of a
+      search — passed via `ctx["ladders"]` ([B, n, n, 4]); ~150x cheaper
+      per playout, leaves see slightly stale ladder features (documented
+      deviation; strength cost is small, the other 39 planes are exact)
+    - "off": zero planes (dummy/bootstrap runs)
+    """
     n = env.n
 
-    def eval_fn(states: GoState) -> NetEvals:
-        planes = jax.vmap(lambda s: encode(env, s))(states)  # [B, n, n, 43]
+    def eval_fn(states: GoState, ctx=None) -> NetEvals:
+        if ladder_mode == "full":
+            lp = None  # encoder computes per position
+        elif ladder_mode == "root" and ctx is not None and "ladders" in ctx:
+            lp = ctx["ladders"]
+        else:
+            lp = jnp.zeros(states.stones.shape[:1] + (n, n, 4))
+        if lp is None:
+            planes = jax.vmap(lambda s: encode(env, s))(states)
+        else:
+            planes = jax.vmap(
+                lambda s, l: encode(env, s, ladder_planes=l)
+            )(states, lp)  # [B, n, n, 43]
         if symmetry:
             planes = S.transform_planes(planes, symmetry)
         out = net.apply(variables, planes, train=False)
@@ -80,7 +102,7 @@ def make_dummy_eval_fn(env: GoEnv, rng_seed: int = 0):
     """Random-output evaluator for weightless runs (DummyForward,
     network.cc:144-165): uniform-ish random legal priors, ~0.5 value."""
 
-    def eval_fn(states: GoState) -> NetEvals:
+    def eval_fn(states: GoState, ctx=None) -> NetEvals:
         b = states.stones.shape[0]
         legal = jax.vmap(env.legal_action_mask)(states)
         # fold the position hash into the noise so it is deterministic

@@ -31,39 +31,40 @@ def _ids(shape, dim):
     return lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _nbr_max(m, n):
-    """max over 4-neighbors on [..., n, n] float boards (0 beyond edge).
-    pltpu.roll needs non-negative shifts: n-1 == -1 circularly."""
-    nd = m.ndim
-    r = _ids(m.shape, nd - 2)
-    c = _ids(m.shape, nd - 1)
-    up = jnp.where(r > 0, pltpu.roll(m, 1, nd - 2), 0.0)
-    dn = jnp.where(r < n - 1, pltpu.roll(m, n - 1, nd - 2), 0.0)
-    lf = jnp.where(c > 0, pltpu.roll(m, 1, nd - 1), 0.0)
-    rt = jnp.where(c < n - 1, pltpu.roll(m, n - 1, nd - 1), 0.0)
+def _nbr_max_flat(m, n):
+    """max over 4-neighbors on [C, n*n] row-major flattened boards — all
+    shifts are lane rotations (cheap on the VPU; sublane/middle-dim rolls
+    are not). pltpu.roll needs non-negative shifts: nn-k == -k."""
+    nn = n * n
+    idx = _ids(m.shape, 1)
+    col = idx % n
+    lf = jnp.where(col > 0, pltpu.roll(m, 1, 1), 0.0)
+    rt = jnp.where(col < n - 1, pltpu.roll(m, nn - 1, 1), 0.0)
+    up = jnp.where(idx >= n, pltpu.roll(m, n, 1), 0.0)
+    dn = jnp.where(idx < nn - n, pltpu.roll(m, nn - n, 1), 0.0)
     return jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
 
 
-def _nbr_min(l, n, big):
-    nd = l.ndim
-    r = _ids(l.shape, nd - 2)
-    c = _ids(l.shape, nd - 1)
-    up = jnp.where(r > 0, pltpu.roll(l, 1, nd - 2), big)
-    dn = jnp.where(r < n - 1, pltpu.roll(l, n - 1, nd - 2), big)
-    lf = jnp.where(c > 0, pltpu.roll(l, 1, nd - 1), big)
-    rt = jnp.where(c < n - 1, pltpu.roll(l, n - 1, nd - 1), big)
+def _nbr_min_flat(l, n, big):
+    nn = n * n
+    idx = _ids(l.shape, 1)
+    col = idx % n
+    lf = jnp.where(col > 0, pltpu.roll(l, 1, 1), big)
+    rt = jnp.where(col < n - 1, pltpu.roll(l, nn - 1, 1), big)
+    up = jnp.where(idx >= n, pltpu.roll(l, n, 1), big)
+    dn = jnp.where(idx < nn - n, pltpu.roll(l, nn - n, 1), big)
     return jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
 
 
-def _flood_kernel(seed_ref, allowed_ref, out_ref):
-    n = seed_ref.shape[-1]
+def _flood_kernel(n, seed_ref, allowed_ref, out_ref):
     allowed = allowed_ref[:].astype(jnp.float32)
     m0 = seed_ref[:].astype(jnp.float32) * allowed
 
     def body(carry):
         m, _ = carry
-        m2 = jnp.maximum(m, _nbr_max(m, n)) * allowed
-        m2 = jnp.maximum(m2, _nbr_max(m2, n)) * allowed
+        m2 = jnp.maximum(m, _nbr_max_flat(m, n)) * allowed
+        m2 = jnp.maximum(m2, _nbr_max_flat(m2, n)) * allowed
+        m2 = jnp.maximum(m2, _nbr_max_flat(m2, n)) * allowed
         return m2, jnp.sum(m2) > jnp.sum(m)
 
     m, _ = lax.while_loop(
@@ -72,20 +73,16 @@ def _flood_kernel(seed_ref, allowed_ref, out_ref):
     out_ref[:] = m > 0.5
 
 
-def _labels_kernel(mask_ref, out_ref):
-    n = mask_ref.shape[-1]
+def _labels_kernel(n, mask_ref, out_ref):
     mask = mask_ref[:]
     big = jnp.float32(1e9)
-    flat = (_ids(mask.shape, mask.ndim - 2) * n + _ids(mask.shape, mask.ndim - 1)).astype(
-        jnp.float32
-    )
-    l0 = jnp.where(mask, flat, big)
+    l0 = jnp.where(mask, _ids(mask.shape, 1).astype(jnp.float32), big)
     finite0 = jnp.sum(jnp.where(mask, l0, 0.0))
 
     def body(carry):
         l, _ = carry
-        l2 = jnp.where(mask, jnp.minimum(l, _nbr_min(l, n, big)), big)
-        l3 = jnp.where(mask, jnp.minimum(l2, _nbr_min(l2, n, big)), big)
+        l2 = jnp.where(mask, jnp.minimum(l, _nbr_min_flat(l, n, big)), big)
+        l3 = jnp.where(mask, jnp.minimum(l2, _nbr_min_flat(l2, n, big)), big)
         decreased = jnp.sum(jnp.where(mask, l3, 0.0)) < jnp.sum(
             jnp.where(mask, l, 0.0)
         )
@@ -98,31 +95,35 @@ def _labels_kernel(mask_ref, out_ref):
 
 
 def _batched_call(kernel, out_dtype, args):
-    """Run `kernel` over [B, n, n] inputs in one (chunked) launch."""
+    """Run `kernel` over [B, n, n] inputs in one (chunked) launch with
+    row-major flattened [chunk, n*n] blocks."""
     b, n = args[0].shape[0], args[0].shape[-1]
+    nn = n * n
     chunk = min(b, _CHUNK)
     pad = (-b) % chunk
+    args = tuple(a.reshape(b, nn) for a in args)
     if pad:
         args = tuple(
-            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            jnp.concatenate([a, jnp.zeros((pad, nn), a.dtype)])
             for a in args
         )
     bp = b + pad
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, n),
         grid=(bp // chunk,),
-        out_shape=jax.ShapeDtypeStruct((bp, n, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, nn), out_dtype),
         in_specs=[
             pl.BlockSpec(
-                (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
             for _ in args
         ],
         out_specs=pl.BlockSpec(
-            (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(*args)
-    return out[:b] if pad else out
+    out = out[:b] if pad else out
+    return out.reshape(b, n, n)
 
 
 @jax.custom_batching.custom_vmap

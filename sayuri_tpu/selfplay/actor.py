@@ -234,16 +234,27 @@ class SelfplayActor:
         # --- root superko purge (node.cc:1824-1841) ---
         superko = jax.vmap(env.superko_action_mask)(states)
 
+        # root ladder planes reused for every leaf eval this move
+        # (ladder_mode="root"; see models/evaluator.py)
+        from sayuri_tpu.game import ladder as L
+
+        ctx = {
+            "ladders": jax.vmap(
+                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+            )(states)
+        }
+
         tree = mcts.init_tree(
             states,
             k_tree,
             use_noise=use_noise,
             use_gumbel=use_gumbel,
             prior_mask=~superko,
+            ctx=ctx,
         )
         raw_priors = tree.prior[:, 0]
         raw_nn_ownership = tree.root_ownership  # == NN ownership before sims
-        tree = mcts.run(tree, cfg.playouts, budget=budget)
+        tree = mcts.run(tree, cfg.playouts, budget=budget, ctx=ctx)
 
         # --- root stats ---
         root_v = jnp.maximum(tree.visits[:, 0], 1)

@@ -114,7 +114,7 @@ class GameRandomizer:
         `play_color`: -1 = side to move, else forces color (handicap
         AppendMove). Pass is always excluded, matching both reference call
         sites (GetVertexWithPolicy(..., false))."""
-        evals = self.eval_fn(states)
+        evals = self.eval_fn(states, None)
         logits = jnp.log(jnp.maximum(evals.priors, 1e-25)) / temp
         logits = logits.at[:, -1].set(-jnp.inf)
         rngs = jax.random.split(rng, states.stones.shape[0])

@@ -18,7 +18,7 @@ from sayuri_tpu.mcts.core import MCTS, NetEvals, SearchConfig
 def make_dummy_eval(env, value_fn=None):
     """Uniform priors over legal moves; value from `value_fn(states)` or 0.5."""
 
-    def eval_fn(states):
+    def eval_fn(states, ctx=None):
         b = states.stones.shape[0]
         legal = jax.vmap(env.legal_action_mask)(states)
         priors = legal.astype(jnp.float32)
