@@ -70,6 +70,7 @@ class Agent:
             max_nodes=max_nodes or (playouts + 16)
         )
         self._rng = jax.random.PRNGKey(seed)
+        self.book = None  # optional opening book (game/book.py)
         self._build(boardsize, komi)
 
     # -- construction / reconstruction (Network::Reconstruct path,
@@ -198,11 +199,25 @@ class Agent:
         return tree, {"playouts": playouts, "time": elapsed}
 
     def genmove(self, color: int, playouts=None, resign_threshold=0.1):
-        """Search and play the best move (ThinkBestMove, search.cc:864)."""
+        """Search and play the best move (ThinkBestMove, search.cc:864).
+        An opening-book hit short-circuits the search (search.cc:295-300)."""
         if int(self.state.to_move[0]) != color:
             self.state = self.state.replace(
                 to_move=jnp.full_like(self.state.to_move, color)
             )
+        book = getattr(self, "book", None)
+        if book is not None:
+            single = jax.tree.map(lambda x: x[0], self.state)
+            legal = np.asarray(
+                self._get_jit(
+                    "legal",
+                    lambda: jax.jit(jax.vmap(self.env.legal_action_mask)),
+                )(self.state)
+            )[0]
+            mv = book.probe(single, legal)
+            if mv is not None:
+                self.play(color, mv)
+                return mv, None
         tree, _ = self.think(playouts)
         best = int(np.asarray(self.mcts.best_move(tree))[0])
         root_v = np.asarray(tree.visits[:, 0])[0]

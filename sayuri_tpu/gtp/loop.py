@@ -27,7 +27,8 @@ KNOWN_COMMANDS = [
     "kgs-game_over", "kgs-chat", "rules", "sayuri-setoption",
     "sayuri-planes", "sayuri-raw_nn", "lz-analyze", "lz-genmove_analyze",
     "kata-analyze", "kata-genmove_analyze", "sayuri-analyze",
-    "sayuri-genmove_analyze", "netbench", "benchmark",
+    "sayuri-genmove_analyze", "netbench", "benchmark", "genbook",
+    "loadbook",
 ]
 
 _HANDICAP_9 = {  # standard star points for fixed_handicap on odd boards
@@ -381,6 +382,25 @@ class GtpLoop:
             return False, f"unsupported option {name}"
         return True, ""
 
+    def _cmd_genbook(self, args):
+        # genbook <sgf_dir> <out_file> (gtp.cc:643-660)
+        from pathlib import Path
+
+        from sayuri_tpu.game.book import Book
+
+        if len(args) < 2:
+            return False, "syntax: genbook <sgf_dir> <out_file>"
+        paths = sorted(Path(args[0]).rglob("*.sgf"))
+        book = Book.generate(paths)
+        book.save(args[1])
+        return True, f"{len(book)} positions"
+
+    def _cmd_loadbook(self, args):
+        from sayuri_tpu.game.book import Book
+
+        self.agent.book = Book.load(args[0])
+        return True, f"{len(self.agent.book)} positions"
+
     def _cmd_netbench(self, args):
         import time as _t
 
@@ -443,7 +463,8 @@ class GtpLoop:
     def _cmd_lz_genmove_analyze(self, args):
         color = _color_arg(args[0]) if args else self.agent.to_move()
         move, tree = self.agent.genmove(color)
-        body = self._fmt_rows(tree, "lz")
+        body = self._fmt_rows(tree, "lz") if tree is not None else ""
+
         mv = (
             "resign"
             if move == "resign"

@@ -118,6 +118,12 @@ class Tree:
     net_score: jnp.ndarray       # f32 raw NN score (black)
     terminal: jnp.ndarray        # bool
     valid: jnp.ndarray           # bool (root superko purge clears these)
+    # cached per-node score utility in BLACK perspective (node.cc:757-768).
+    # E[atan] is odd in its argument, so the white-perspective value is just
+    # the negation; the center is the per-search constant
+    # recent_expected_black_score, so the cache only changes when a node's
+    # stats change — recomputed for backup-path nodes each simulation.
+    score_eval: jnp.ndarray      # f32 [B, N]
 
     # per-node game state (leading dims [B, N])
     states: GoState
@@ -240,8 +246,24 @@ class MCTS:
             use_gumbel=(
                 jnp.full((b,), cfg.gumbel) if use_gumbel is None else use_gumbel
             ),
+            score_eval=zeros((b, n_nodes)).at[:, 0].set(
+                expected_score_value(
+                    evals.black_score,
+                    jnp.ones((b,)),
+                    evals.black_score,
+                    cfg.score_utility_div,
+                    float(self.env.n),
+                )
+                * cfg.score_utility_factor
+            ),
         )
         return tree
+
+    def _score_center(self, tree):
+        """Per-search score-utility center: the root's raw NN score (the
+        reference's recent_expected_black_score is the previous move's root
+        estimate — a per-search constant, parameters.h)."""
+        return tree.net_score[:, 0]
 
     def _sample_dirichlet(self, rng, priors):
         """Root Dirichlet buffer (node.cc:1395-1423): alpha =
@@ -274,25 +296,12 @@ class MCTS:
         return tree.acc_wl[b_idx, idx] / jnp.maximum(v, 1)
 
     def _score_eval(self, tree, child_idx, b_idx, color, root_score):
-        """Score-utility term of the Q value (node.cc:757-768)."""
-        cfg = self.cfg
-        v = tree.visits[b_idx, child_idx]
-        mean_b = tree.acc_score[b_idx, child_idx] / jnp.maximum(v, 1)
-        var = jnp.where(
-            v > 1,
-            tree.sq_score_diff[b_idx, child_idx] / jnp.maximum(v - 1, 1),
-            1.0,
-        )
-        stddev = jnp.sqrt(jnp.maximum(var, 0.0))
+        """Score-utility term of the Q value (node.cc:757-768), read from
+        the per-node cache (black perspective; E[atan] is odd so the white
+        value is the negation). `root_score` is unused (kept for signature
+        stability) — the center is baked into the cache at backup time."""
         sign = jnp.where(color == 0, 1.0, -1.0)
-        sv = expected_score_value(
-            sign * mean_b,
-            stddev,
-            sign * root_score,
-            cfg.score_utility_div,
-            float(self.env.n),
-        )
-        return sv * cfg.score_utility_factor
+        return sign * tree.score_eval[b_idx, child_idx]
 
     # ------------------------------------------------------------------
     # selection
@@ -626,6 +635,37 @@ class MCTS:
             sq_score_diff=tree.sq_score_diff.at[bb, idx_scatter].add(
                 wdelta(sc_e, old_sc, old_v) * vf
             ),
+        )
+
+        # refresh the score-utility cache for the nodes whose stats changed
+        # (gather-compute-scatter over the backup path only — the selection
+        # loop then reads it with one gather instead of recomputing the
+        # Gauss-Hermite integral for all children at every level)
+        nv2 = tree.visits[bb, idx_safe]
+        mean2 = tree.acc_score[bb, idx_safe] / jnp.maximum(nv2, 1)
+        var2 = jnp.where(
+            nv2 > 1,
+            tree.sq_score_diff[bb, idx_safe] / jnp.maximum(nv2 - 1, 1),
+            1.0,
+        )
+        center = self._score_center(tree)[:, None]
+        se_new = (
+            expected_score_value(
+                mean2,
+                jnp.sqrt(jnp.maximum(var2, 0.0)),
+                center,
+                cfg.score_utility_div,
+                float(self.env.n),
+            )
+            * cfg.score_utility_factor
+        )
+        # masked entries must NOT alias node 0 (the root IS a real path
+        # entry): route them out of bounds and drop
+        idx_drop = jnp.where(ok, idx_safe, cfg.max_nodes)
+        tree = tree.replace(
+            score_eval=tree.score_eval.at[bb, idx_drop].set(
+                se_new, mode="drop"
+            )
         )
 
         # root ownership running average (node.cc:724-733)

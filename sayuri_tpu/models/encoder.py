@@ -38,12 +38,21 @@ from sayuri_tpu.game.types import AREA_RULE, EMPTY
 NUM_PLANES = 43
 
 
-def encode(env: GoEnv, state: GoState, ladder_planes=None) -> jnp.ndarray:
+def encode(
+    env: GoEnv,
+    state: GoState,
+    ladder_planes=None,
+    libs_map=None,
+    safe_map=None,
+    score_own_map=None,
+) -> jnp.ndarray:
     """[n, n, NUM_PLANES] float32 input planes for one state (vmap me).
 
     `ladder_planes`: optional precomputed [n, n, 4] ladder features (plugged
     in separately because ladder search is the most expensive analysis;
     callers may disable it). Defaults to the engine's ladder module.
+    `libs_map`: optional precomputed [n, n] per-chain liberty counts
+    (capped >= 4) from the Pallas analysis kernel (ops/analysis.py).
     """
     n = env.n
     mask = B.board_mask(state.size, n)
@@ -71,7 +80,10 @@ def encode(env: GoEnv, state: GoState, ladder_planes=None) -> jnp.ndarray:
 
     # --- area x4 (encoder.cc:176-223); zero under territory scoring ---
     is_area = (state.rule == AREA_RULE).astype(jnp.float32)
-    safe, owner = A.safe_and_ownership(state.stones, state.size)
+    if safe_map is None or score_own_map is None:
+        safe, owner = A.safe_and_ownership(state.stones, state.size)
+    else:
+        safe, owner = safe_map, score_own_map
     mine_val = jnp.where(to_move == 0, 1, -1)
     owner_mine = owner == mine_val
     owner_theirs = owner == -mine_val
@@ -82,12 +94,15 @@ def encode(env: GoEnv, state: GoState, ladder_planes=None) -> jnp.ndarray:
 
     # --- liberties 1..4 (encoder.cc:225-246) ---
     stones_any = (state.stones != EMPTY) & mask
-    empty = (state.stones == EMPTY) & mask
-    lbl_b = B.chain_labels((state.stones == 1) & mask)
-    lbl_w = B.chain_labels((state.stones == 2) & mask)
-    libs = B.chain_liberty_map((state.stones == 1) & mask, lbl_b, empty) + (
-        B.chain_liberty_map((state.stones == 2) & mask, lbl_w, empty)
-    )
+    if libs_map is None:
+        empty = (state.stones == EMPTY) & mask
+        lbl_b = B.chain_labels((state.stones == 1) & mask)
+        lbl_w = B.chain_labels((state.stones == 2) & mask)
+        libs = B.chain_liberty_map(
+            (state.stones == 1) & mask, lbl_b, empty
+        ) + B.chain_liberty_map((state.stones == 2) & mask, lbl_w, empty)
+    else:
+        libs = libs_map
     for k in (1, 2, 3, 4):
         planes.append((stones_any & (libs == k)).astype(jnp.float32))
 

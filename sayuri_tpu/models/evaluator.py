@@ -57,12 +57,48 @@ def make_eval_fn(
             lp = ctx["ladders"]
         else:
             lp = jnp.zeros(states.stones.shape[:1] + (n, n, 4))
+
+        # Pallas fast path: legality + liberty maps from one analysis
+        # kernel launch (ops/analysis.py) instead of per-board label
+        # propagation + scatters
+        from sayuri_tpu.game import board as B_
+
+        analysis = None
+        if B_._use_pallas():
+            from sayuri_tpu.ops.analysis import board_analysis_tpu
+
+            analysis = board_analysis_tpu(
+                states.stones, states.size, states.ko, states.to_move
+            )
         if lp is None:
-            planes = jax.vmap(lambda s: encode(env, s))(states)
-        else:
+            # full ladder mode: compute ladder planes per position
+            from sayuri_tpu.game import ladder as L
+
+            lp = jax.vmap(
+                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+            )(states)
+
+        if analysis is None:
             planes = jax.vmap(
                 lambda s, l: encode(env, s, ladder_planes=l)
-            )(states, lp)  # [B, n, n, 43]
+            )(states, lp)
+        else:
+            planes = jax.vmap(
+                lambda s, l, lib, sf, so: encode(
+                    env,
+                    s,
+                    ladder_planes=l,
+                    libs_map=lib,
+                    safe_map=sf,
+                    score_own_map=so,
+                )
+            )(
+                states,
+                lp,
+                analysis["libs"],
+                analysis["safe"],
+                analysis["score_ownership"],
+            )  # [B, n, n, 43]
         if symmetry:
             planes = S.transform_planes(planes, symmetry)
         out = net.apply(variables, planes, train=False)
@@ -73,7 +109,14 @@ def make_eval_fn(
             prob = S.inverse_transform_policy(prob, symmetry, n)
             ownership = S.inverse_transform_policy(ownership, symmetry, n)
 
-        legal = jax.vmap(env.legal_action_mask)(states)
+        if analysis is not None:
+            board_legal = analysis["legal"] & ~states.terminated[:, None]
+            legal = jnp.concatenate(
+                [board_legal, jnp.ones((board_legal.shape[0], 1), bool)],
+                axis=-1,
+            )
+        else:
+            legal = jax.vmap(env.legal_action_mask)(states)
         logits = jnp.where(legal, prob / policy_temp, -jnp.inf)
         priors = jax.nn.softmax(logits, axis=-1)
         priors = jnp.where(legal, priors, 0.0)
