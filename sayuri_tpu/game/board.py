@@ -361,12 +361,20 @@ def _zobrist_tables(n: int):
 
 
 def position_hash(stones, n: int):
-    """[2] uint32 board-only hash (superko identity, game_state.h:203)."""
+    """[2] uint32 board-only hash (superko identity, game_state.h:203).
+
+    Gather-free: XLA lowers fancy gathers to serialized scalar loads on
+    TPU, so the per-cell key lookup is a masked select over the two color
+    key tables instead."""
     cells, _ = _zobrist_tables(n)
     flat = stones.reshape(-1).astype(jnp.int32)
-    keys = cells[:, flat, jnp.arange(n * n)]  # [2, n*n] via fancy gather
+    k1 = cells[:, C_BLACK, :]  # [2, n*n]
+    k2 = cells[:, C_WHITE, :]
+    vals = jnp.where(flat[None, :] == C_BLACK, k1, jnp.uint32(0)) ^ jnp.where(
+        flat[None, :] == C_WHITE, k2, jnp.uint32(0)
+    )
     return lax.reduce(
-        keys, jnp.uint32(0), lax.bitwise_xor, dimensions=(1,)
+        vals, jnp.uint32(0), lax.bitwise_xor, dimensions=(1,)
     )
 
 

@@ -174,6 +174,80 @@ class GoEnv:
             state,
         )
 
+    def step_batch_with_analysis(self, states: GoState, actions):
+        """Batched step + child-position analysis.
+
+        On TPU this is ONE Pallas launch doing the whole board transition
+        plus everything the leaf evaluation needs (legality, liberty map,
+        safe area, score ownership — ops/analysis.py); elsewhere it falls
+        back to vmap(step) and returns analysis=None. Returns
+        (new_states, analysis_dict_or_None)."""
+        from sayuri_tpu.game import board as B
+
+        if not B._use_pallas():
+            return jax.vmap(self.step)(states, actions), None
+
+        from sayuri_tpu.ops.analysis import step_and_analyze_tpu
+
+        n = self.n
+        actions = jnp.asarray(actions, jnp.int32)
+        out = step_and_analyze_tpu(
+            states.stones, states.size, states.ko, states.to_move, actions
+        )
+        is_pass = actions >= self.pass_action
+        color = states.to_move
+        new_stones = out["new_stones"].astype(jnp.int8)
+        new_ko = out["new_ko"]
+        new_hash = jax.vmap(lambda s: B.position_hash(s, n))(new_stones)
+
+        move_v = jnp.where(is_pass, NO_VERTEX, actions)
+        new_last = jnp.concatenate(
+            [move_v[:, None], states.last_moves[:, :-1]], axis=1
+        )
+        new_history = jnp.concatenate(
+            [new_stones[:, None], states.history[:, :-1]], axis=1
+        )
+        b_idx = jnp.arange(color.shape[0])
+        new_prisoners = states.prisoners.at[b_idx, color].add(
+            jnp.where(is_pass, 0, out["n_captured"])
+        )
+        new_played = states.played_stones.at[b_idx, color].add(
+            jnp.where(is_pass, 0, 1)
+        )
+        hh = states.hash_history.at[
+            b_idx, states.move_count % self.max_len
+        ].set(states.hash)
+        new_pass = jnp.where(is_pass, states.pass_count + 1, 0)
+        terminated = states.terminated | (new_pass >= 2)
+
+        stepped = states.replace(
+            stones=new_stones,
+            to_move=1 - color,
+            ko=new_ko,
+            pass_count=new_pass,
+            move_count=states.move_count + 1,
+            last_moves=new_last,
+            history=new_history,
+            hash=new_hash,
+            hash_history=hh,
+            prisoners=new_prisoners,
+            played_stones=new_played,
+            terminated=terminated,
+        )
+        frozen = states.terminated
+        new_states = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(
+                    frozen, frozen.shape + (1,) * (new.ndim - frozen.ndim)
+                ),
+                old,
+                new,
+            ),
+            stepped,
+            states,
+        )
+        return new_states, out
+
     # -- queries -----------------------------------------------------------
 
     def legal_action_mask(self, state: GoState) -> jnp.ndarray:

@@ -104,6 +104,13 @@ class Tree:
     # edge data [B, N, A]
     prior: jnp.ndarray       # f32, exactly 0 for illegal actions
     child: jnp.ndarray       # i32 node index or -1
+    # packed per-edge selection stats [B, N, A, 5]:
+    #   0 visits, 1 wl_sum (black), 2 score_eval (black, cached),
+    #   3 k_raw (dynamic-cpuct variance factor, cached), 4 child net_wl
+    # One contiguous row slice per descent level replaces four elementwise
+    # [B, A]-from-[B, N] gathers (XLA lowers those to serialized scalar
+    # loads on TPU — they were the dominant search cost).
+    edges: jnp.ndarray
 
     # node data [B, N]
     parent: jnp.ndarray          # i32 (-1 for root)
@@ -205,12 +212,18 @@ class MCTS:
         def zeros(shape, dt=jnp.float32):
             return jnp.zeros(shape, dt)
 
-        states = jax.tree.map(
-            lambda x: jnp.zeros((b, n_nodes) + x.shape[1:], x.dtype),
-            root_states,
+        # tree nodes never consult the superko ring (the purge happens at
+        # the root only, node.cc:1824); keep a length-1 stub so the GoState
+        # pytree stays uniform without replicating [max_len, 2] x nodes
+        slim_roots = root_states.replace(
+            hash_history=root_states.hash_history[:, :1, :]
         )
         states = jax.tree.map(
-            lambda buf, root: buf.at[:, 0].set(root), states, root_states
+            lambda x: jnp.zeros((b, n_nodes) + x.shape[1:], x.dtype),
+            slim_roots,
+        )
+        states = jax.tree.map(
+            lambda buf, root: buf.at[:, 0].set(root), states, slim_roots
         )
 
         noise = self._sample_dirichlet(rng, evals.priors)
@@ -219,6 +232,7 @@ class MCTS:
         tree = Tree(
             prior=zeros((b, n_nodes, A)).at[:, 0].set(evals.priors),
             child=jnp.full((b, n_nodes, A), -1, jnp.int32),
+            edges=zeros((b, n_nodes, A, 5)),
             parent=jnp.full((b, n_nodes), -1, jnp.int32),
             parent_action=jnp.full((b, n_nodes), -1, jnp.int32),
             visits=zeros((b, n_nodes), jnp.int32).at[:, 0].set(1),
@@ -314,14 +328,15 @@ class MCTS:
         b_idx = jnp.arange(b)
         A = tree.num_actions
 
-        child = tree.child[b_idx, node_idx]       # [B, A]
-        p_raw = tree.prior[b_idx, node_idx]       # [B, A]
+        p_raw = tree.prior[b_idx, node_idx]       # [B, A] (row slice)
         legal = p_raw > 0
 
-        has_child = child >= 0
-        child_safe = jnp.maximum(child, 0)
-        nv = jnp.where(has_child, tree.visits[b_idx[:, None], child_safe], 0)
-        cv = jnp.sum(nv, axis=-1)                 # children_visits
+        edges = tree.edges[b_idx, node_idx]       # [B, A, 5] (row slice)
+        nv = edges[..., 0]                        # f32 child visits
+        wl_sum = edges[..., 1]
+        se_b = edges[..., 2]
+        k_raw = edges[..., 3]
+        cv = jnp.sum(nv, axis=-1)                 # children_visits (f32)
         tvp = jnp.sum(jnp.where(nv > 0, p_raw, 0.0), axis=-1)
 
         color = tree.states.to_move[b_idx, node_idx]  # [B]
@@ -348,30 +363,28 @@ class MCTS:
             (1.0 - avg_factor) * net_wl_c + avg_factor * wl_c - fpu_red,
         )
 
-        # per-child Q (color perspective) + score utility
-        wl_child_b = tree.acc_wl[
-            b_idx[:, None], child_safe
-        ] / jnp.maximum(nv, 1)
+        # per-child Q (color perspective) + cached score utility
+        wl_child_b = wl_sum / jnp.maximum(nv, 1.0)
         wl_child = jnp.where(color[:, None] == 0, wl_child_b, 1.0 - wl_child_b)
-        score_eval = self._score_eval(
-            tree, child_safe, b_idx[:, None], color[:, None], root_score[:, None]
-        )
-        visited = has_child & (nv > 0)
+        score_eval = sign[:, None] * se_b
+        visited = nv > 0
         q = jnp.where(visited, wl_child + score_eval, fpu[:, None])
 
         # forced playouts (root only, node.cc:474-485)
         if cfg.forced_playouts_k > 0:
-            forced_n = jnp.sqrt(
-                jnp.maximum(
-                    1e-4,
-                    cfg.forced_playouts_k
-                    * jnp.minimum(0.2, p_raw)
-                    * cv[:, None].astype(jnp.float32),
+            forced_n = jnp.floor(
+                jnp.sqrt(
+                    jnp.maximum(
+                        1e-4,
+                        cfg.forced_playouts_k
+                        * jnp.minimum(0.2, p_raw)
+                        * cv[:, None],
+                    )
                 )
-            ).astype(jnp.int32)
+            )
             q = q + jnp.where(
                 is_root[:, None] & visited & (forced_n > nv),
-                (forced_n - nv).astype(jnp.float32) * 1e6,
+                (forced_n - nv) * 1e6,
                 0.0,
             )
 
@@ -386,35 +399,25 @@ class MCTS:
         else:
             psa = p_raw
 
-        # cpuct (node.cc:463-473) + dynamic factor (node.cc:440-461)
+        # cpuct (node.cc:463-473) + dynamic factor (node.cc:440-461);
+        # the per-child variance factor k_raw is cached at backup
         cpuct = cfg.cpuct_init + cfg.cpuct_base_factor * jnp.log(
-            (cv.astype(jnp.float32) + cfg.cpuct_base + 1.0) / cfg.cpuct_base
+            (cv + cfg.cpuct_base + 1.0) / cfg.cpuct_base
         )
         if cfg.cpuct_dynamic:
-            var = jnp.where(
-                nv > 1,
-                tree.sq_eval_diff[b_idx[:, None], child_safe]
-                / jnp.maximum(nv - 1, 1),
-                1.0,
-            )
-            k = cfg.cpuct_dynamic_k_factor * (
-                jnp.sqrt(jnp.maximum(var, 0.0)) / jnp.maximum(nv, 1)
-            )
-            k = jnp.clip(k, 0.5, 1.4)
             alpha = 1.0 / (
                 1.0 + jnp.sqrt(cv[:, None] / cfg.cpuct_dynamic_k_base)
             )
-            k = alpha * k + (1.0 - alpha)
+            k = alpha * k_raw + (1.0 - alpha)
             k = jnp.where(nv > 1, k, 1.0)
             cpuct_a = cpuct[:, None] * k
         else:
             cpuct_a = jnp.broadcast_to(cpuct[:, None], psa.shape)
 
-        numerator = jnp.sqrt(cv.astype(jnp.float32))
+        numerator = jnp.sqrt(cv)
         puct = cpuct_a * psa * (numerator[:, None] / (1.0 + nv))
         score = q + puct
-        valid_child = ~has_child | tree.valid[b_idx[:, None], child_safe]
-        return jnp.where(legal & valid_child, score, -jnp.inf)
+        return jnp.where(legal, score, -jnp.inf)
 
     def _select_action(self, tree, node_idx, is_root, root_score, sim_idx):
         """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382)."""
@@ -495,23 +498,31 @@ class MCTS:
         leaf_action = jnp.maximum(path_a[b_idx, last_d], 0)
         existing_child = tree.child[b_idx, leaf_parent, leaf_action]
 
-        # ---- step env to the leaf ----
+        # ---- step env to the leaf (fused step+analysis kernel on TPU) ----
         parent_states = jax.tree.map(
             lambda x: x[b_idx, leaf_parent], tree.states
         )
-        child_states = jax.vmap(self.env.step)(parent_states, leaf_action)
+        child_states, analysis = self.env.step_batch_with_analysis(
+            parent_states, leaf_action
+        )
 
         # ---- evaluate ----
-        evals = self.eval_fn(child_states, ctx)
+        eval_ctx = ctx
+        if analysis is not None:
+            eval_ctx = dict(ctx or {}, analysis=analysis)
+        evals = self.eval_fn(child_states, eval_ctx)
         term = child_states.terminated
         # terminal two-pass leaves valued by the final score
         # (search.cc:71-88); Tromp-Taylor ownership stands in for the full
         # score-area pass (see mcts docstring). Terminal leaves are rare,
         # so the whole scoring pass is behind a real branch.
         def term_scores(_):
-            own_map = jax.vmap(self.env.ownership)(child_states).reshape(
-                b, -1
-            )
+            if analysis is not None:
+                own_map = analysis["ownership"].reshape(b, -1)
+            else:
+                own_map = jax.vmap(self.env.ownership)(child_states).reshape(
+                    b, -1
+                )
             t_score = jnp.sum(own_map, axis=-1).astype(
                 jnp.float32
             ) - jax.vmap(self.env.komi_with_penalty)(child_states)
@@ -668,6 +679,41 @@ class MCTS:
             )
         )
 
+        # ---- refresh the packed edge stats for the traversed edges ----
+        # The edges touched this simulation are exactly (path, path_a);
+        # their children's just-updated node stats are gathered ([B, D]
+        # small gathers) and scattered into the packed [B, N, A, 5] rows
+        # that selection reads.
+        e_ok = (path >= 0) & active[:, None]
+        e_nodes = jnp.maximum(path, 0)
+        e_acts = jnp.maximum(path_a, 0)
+        ch_idx = tree.child[bb, e_nodes, e_acts]
+        e_ok = e_ok & (ch_idx >= 0)
+        ch = jnp.maximum(ch_idx, 0)
+        ch_v = tree.visits[bb, ch].astype(jnp.float32)
+        ch_wl = tree.acc_wl[bb, ch]
+        ch_se = tree.score_eval[bb, ch]
+        ch_var = jnp.where(
+            ch_v > 1.0,
+            tree.sq_eval_diff[bb, ch] / jnp.maximum(ch_v - 1.0, 1.0),
+            1.0,
+        )
+        ch_k = jnp.clip(
+            cfg.cpuct_dynamic_k_factor
+            * jnp.sqrt(jnp.maximum(ch_var, 0.0))
+            / jnp.maximum(ch_v, 1.0),
+            0.5,
+            1.4,
+        )
+        ch_net = tree.net_wl[bb, ch]
+        packed = jnp.stack([ch_v, ch_wl, ch_se, ch_k, ch_net], axis=-1)
+        e_nodes_drop = jnp.where(e_ok, e_nodes, cfg.max_nodes)
+        tree = tree.replace(
+            edges=tree.edges.at[bb, e_nodes_drop, e_acts].set(
+                packed, mode="drop"
+            )
+        )
+
         # root ownership running average (node.cc:724-733)
         rv = tree.visits[:, 0].astype(jnp.float32)
         tree = tree.replace(
@@ -697,21 +743,12 @@ class MCTS:
 
     def root_child_visits(self, tree: Tree) -> jnp.ndarray:
         """[B, A] visit counts of root children."""
-        b = tree.visits.shape[0]
-        b_idx = jnp.arange(b)[:, None]
-        child = tree.child[:, 0]
-        return jnp.where(
-            child >= 0, tree.visits[b_idx, jnp.maximum(child, 0)], 0
-        )
+        return tree.edges[:, 0, :, 0].astype(jnp.int32)
 
     def root_child_q(self, tree: Tree, color) -> jnp.ndarray:
         """[B, A] mean child values in `color` perspective; unvisited -> 0."""
-        b = tree.visits.shape[0]
-        b_idx = jnp.arange(b)[:, None]
-        child = tree.child[:, 0]
-        safe = jnp.maximum(child, 0)
-        nv = jnp.where(child >= 0, tree.visits[b_idx, safe], 0)
-        wl_b = tree.acc_wl[b_idx, safe] / jnp.maximum(nv, 1)
+        nv = tree.edges[:, 0, :, 0]
+        wl_b = tree.edges[:, 0, :, 1] / jnp.maximum(nv, 1.0)
         wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
         return jnp.where(nv > 0, wl, 0.0)
 

@@ -68,15 +68,15 @@ def sh_sequence(considered_moves: int, prom_visits: int, threshold: int):
 
 
 def _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color):
-    """GetGumbelEval per child: WL(color) + score utility (node.cc:1467)."""
-    nv = jnp.where(has_child, tree.visits[b_idx[:, None], child_safe], 0)
-    wl_b = tree.acc_wl[b_idx[:, None], child_safe] / jnp.maximum(nv, 1)
+    """GetGumbelEval per child: WL(color) + score utility (node.cc:1467),
+    read from the packed root edge row."""
+    edges0 = tree.edges[:, 0]                  # [B, A, 5]
+    nv = edges0[..., 0]
+    wl_b = edges0[..., 1] / jnp.maximum(nv, 1.0)
     wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
-    root_score = tree.acc_score[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
-    se = mcts._score_eval(
-        tree, child_safe, b_idx[:, None], color[:, None], root_score[:, None]
-    )
-    return jnp.where(nv > 0, wl + se, 0.0), nv
+    sign = jnp.where(color[:, None] == 0, 1.0, -1.0)
+    se = sign * edges0[..., 2]
+    return jnp.where(nv > 0, wl + se, 0.0), nv.astype(jnp.int32)
 
 
 def _sigma(mcts, q, max_visits):
@@ -99,18 +99,13 @@ def root_scores(mcts, tree, node_idx):
     A = tree.num_actions
     thres = 400
 
-    child = tree.child[b_idx, 0]
     prior = tree.prior[b_idx, 0]
-    legal = (prior > 0) & (
-        (child < 0) | tree.valid[b_idx[:, None], jnp.maximum(child, 0)]
-    )
-    child_safe = jnp.maximum(child, 0)
-    has_child = child >= 0
+    legal = prior > 0
+    child_safe = has_child = None  # packed edges supersede child gathers
     color = tree.states.to_move[b_idx, 0]
 
     visits = jnp.where(
-        has_child & legal, tree.visits[b_idx[:, None], child_safe],
-        jnp.where(legal, 0, -1)
+        legal, tree.edges[:, 0, :, 0].astype(jnp.int32), -1
     )
     # visit-sorted (desc) table over legal children (node.cc:1662)
     sorted_v = -jnp.sort(-jnp.where(legal, visits, -1), axis=-1)
@@ -140,14 +135,11 @@ def completed_q_policy(mcts, tree):
     b_idx = jnp.arange(b)
     A = tree.num_actions
 
-    child = tree.child[b_idx, 0]
     prior = tree.prior[b_idx, 0]
     legal = prior > 0
-    child_safe = jnp.maximum(child, 0)
-    has_child = child >= 0
     color = tree.states.to_move[b_idx, 0]
 
-    q, nv = _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color)
+    q, nv = _child_gumbel_eval(mcts, tree, b_idx, None, None, color)
     cv = jnp.sum(nv, axis=-1)
     max_visits = jnp.max(nv, axis=-1)
     weighted_q = jnp.sum(jnp.where(nv > 0, prior * q, 0.0), axis=-1)
@@ -186,14 +178,11 @@ def gumbel_move(mcts, tree, allow_pass):
     A = tree.num_actions
     pass_a = A - 1
 
-    child = tree.child[b_idx, 0]
     prior = tree.prior[b_idx, 0]
     legal = prior > 0
-    child_safe = jnp.maximum(child, 0)
-    has_child = child >= 0
     color = tree.states.to_move[b_idx, 0]
 
-    q, nv = _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color)
+    q, nv = _child_gumbel_eval(mcts, tree, b_idx, None, None, color)
     max_visits = jnp.max(jnp.where(legal, nv, 0), axis=-1)
     sig = jnp.where(nv > 0, _sigma(mcts, q, max_visits[:, None]), 0.0)
     logits = tree.root_gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig

@@ -64,7 +64,10 @@ def make_eval_fn(
         from sayuri_tpu.game import board as B_
 
         analysis = None
-        if B_._use_pallas():
+        if ctx is not None and "analysis" in ctx:
+            # precomputed by the fused step+analysis kernel (mcts simulate)
+            analysis = ctx["analysis"]
+        elif B_._use_pallas():
             from sayuri_tpu.ops.analysis import board_analysis_tpu
 
             analysis = board_analysis_tpu(

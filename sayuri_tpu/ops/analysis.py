@@ -329,6 +329,178 @@ def _analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref,
     sown_ref[:] = sown.astype(jnp.int32)
 
 
+def _apply_move(stones, tm, action, empty, mask, n):
+    """In-kernel play_move (board.py play_move semantics): place the stone,
+    remove opponent chains left with no liberty, compute the simple-ko
+    vertex. Returns (stones2, n_cap [C,1], ko2 [C,1], is_pass [C,1])."""
+    nn = n * n
+    idxf = _idx(stones.shape).astype(jnp.float32)
+    v = action  # [C, 1] f32
+    is_pass = (v >= float(nn)).astype(jnp.float32)
+    onehot = (idxf == v).astype(jnp.float32) * mask * (1.0 - is_pass)
+
+    own_c = tm + 1.0
+    opp_c = 2.0 - tm
+    stones1 = stones * (1.0 - onehot) + onehot * own_c
+
+    opp1 = jnp.zeros_like(stones1)
+    opp1 = (stones1 == opp_c).astype(jnp.float32) * mask
+    empty1 = (stones1 == 0.0).astype(jnp.float32) * mask
+    # first liberty of each opp chain on stones1; BIG => captured
+    adj_empty = _BIG * jnp.ones_like(idxf)
+    for nb in _nbrs(jnp.where(empty1 > 0, idxf, _BIG), n, _BIG):
+        adj_empty = jnp.minimum(adj_empty, nb)
+    first_opp = _min_prop(adj_empty, opp1, n)
+    captured = opp1 * (first_opp >= _BIG).astype(jnp.float32)
+    n_cap = jnp.sum(captured, axis=1, keepdims=True)
+    stones2 = stones1 * (1.0 - captured)
+
+    own2 = (stones2 == own_c).astype(jnp.float32) * mask
+    empty2 = (stones2 == 0.0).astype(jnp.float32) * mask
+    grp = _flood(onehot, own2, n)
+    grp_size = jnp.sum(grp, axis=1, keepdims=True)
+    grp_libs = jnp.sum(_nbr_or(grp, n) * empty2, axis=1, keepdims=True)
+    cap_v = jnp.min(
+        jnp.where(captured > 0, idxf, _BIG), axis=1, keepdims=True
+    )
+    is_ko = (
+        (n_cap == 1.0) & (grp_size == 1.0) & (grp_libs == 1.0)
+    ).astype(jnp.float32)
+    ko2 = jnp.where((is_ko > 0) & (is_pass == 0.0), cap_v, -1.0)
+
+    out_stones = jnp.where(is_pass > 0, stones, stones2)
+    out_ncap = n_cap * (1.0 - is_pass)
+    return out_stones, out_ncap, ko2, is_pass
+
+
+def _step_analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
+                          new_stones_ref, ncap_ref, ko2_ref,
+                          legal_ref, libs_ref, own_ref, safe_ref, sown_ref):
+    """step + full child-position analysis in one launch: the entire
+    per-simulation board work (env transition + everything the encoder and
+    legality need at the leaf)."""
+    stones = stones_ref[:].astype(jnp.float32)
+    size = size_ref[:].astype(jnp.float32)
+    tm = tm_ref[:].astype(jnp.float32)
+    act = act_ref[:].astype(jnp.float32)
+
+    idx = _idx(stones.shape)
+    row = (idx // n).astype(jnp.float32)
+    col_f = (idx % n).astype(jnp.float32)
+    mask = ((row < size) & (col_f < size)).astype(jnp.float32)
+    empty = (stones == 0.0).astype(jnp.float32) * mask
+
+    stones2, ncap, ko2, _ = _apply_move(stones, tm, act, empty, mask, n)
+    new_stones_ref[:] = stones2.astype(jnp.int32)
+    ncap_ref[:] = ncap.astype(jnp.int32)
+    ko2_ref[:] = ko2.astype(jnp.int32)
+
+    # analysis of the CHILD position: side to move flips
+    tm2 = 1.0 - tm
+    black = (stones2 == 1.0) * mask
+    white = (stones2 == 2.0) * mask
+    empty2 = (stones2 == 0.0) * mask
+
+    _, libs_b = _chain_liberty_props(black, empty2, n)
+    _, libs_w = _chain_liberty_props(white, empty2, n)
+
+    def count(kths, cmask):
+        c = jnp.zeros_like(cmask)
+        for kth in kths:
+            c = c + (kth < _BIG).astype(jnp.float32)
+        return c * cmask
+
+    cnt_b = count(libs_b, black)
+    cnt_w = count(libs_w, white)
+    libs_ref[:] = (cnt_b + cnt_w).astype(jnp.int32)
+
+    own_is_b = tm2 == 0.0
+    own_cnt = jnp.where(own_is_b, cnt_b, cnt_w)
+    opp_cnt = jnp.where(own_is_b, cnt_w, cnt_b)
+    has_empty_nb = _nbr_or(empty2, n)
+    own_safe_nb = _nbr_or((own_cnt >= 2.0).astype(jnp.float32), n)
+    opp_cap_nb = _nbr_or((opp_cnt == 1.0).astype(jnp.float32), n)
+    not_ko = (idx.astype(jnp.float32) != ko2).astype(jnp.float32)
+    legal = empty2 * not_ko * jnp.maximum(
+        has_empty_nb, jnp.maximum(own_safe_nb, opp_cap_nb)
+    )
+    legal_ref[:] = legal > 0.5
+
+    reach_b = _flood(empty2 * _nbr_or(black, n), empty2, n)
+    reach_w = _flood(empty2 * _nbr_or(white, n), empty2, n)
+    own = (
+        black - white + reach_b * (1.0 - reach_w) - reach_w * (1.0 - reach_b)
+    )
+    own_ref[:] = own.astype(jnp.int32)
+
+    pa_b = _benson(black, white, empty2, mask, n)
+    pa_w = _benson(white, black, empty2, mask, n)
+    safe_ref[:] = (pa_b + pa_w) > 0.5
+    sown = jnp.where(pa_b > 0, 1.0, own)
+    sown = jnp.where(pa_w > 0, -1.0, sown)
+    sown_ref[:] = sown.astype(jnp.int32)
+
+
+def step_and_analyze_tpu(stones, size, ko, to_move, action):
+    """Batched env-step + child analysis in one Pallas launch.
+
+    Inputs: [B, n, n] stones + [B] scalars + [B] actions (>= n*n = pass).
+    Returns dict(new_stones [B,n,n] i32, n_captured [B], new_ko [B],
+    legal [B,nn] bool, libs/ownership/safe/score_ownership [B,n,n])."""
+    b, n = stones.shape[0], stones.shape[-1]
+    nn = n * n
+    chunk = min(b, _CHUNK)
+    pad = (-b) % chunk
+    bp = b + pad
+
+    def prep(x):
+        x = x.reshape(b, -1).astype(jnp.int32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), jnp.int32)])
+        return x
+
+    outs = pl.pallas_call(
+        functools.partial(_step_analysis_kernel, n),
+        grid=(bp // chunk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # new stones
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # n_cap
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # new ko
+            jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # legal
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # libs
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # ownership
+            jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # safe
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # score ownership
+        ),
+        in_specs=[
+            pl.BlockSpec((chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (chunk, sh), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            for sh in (nn, 1, 1, nn, nn, nn, nn, nn)
+        ),
+        interpret=INTERPRET,
+    )(prep(stones), prep(size), prep(ko), prep(to_move), prep(action))
+    sl = slice(0, b)
+    new_stones, ncap, ko2, legal, libs, own, safe, sown = outs
+    return {
+        "new_stones": new_stones[sl].reshape(b, n, n),
+        "n_captured": ncap[sl].reshape(b),
+        "new_ko": ko2[sl].reshape(b),
+        "legal": legal[sl],
+        "libs": libs[sl].reshape(b, n, n),
+        "ownership": own[sl].reshape(b, n, n),
+        "safe": safe[sl].reshape(b, n, n),
+        "score_ownership": sown[sl].reshape(b, n, n),
+    }
+
+
 def board_analysis_tpu(stones, size, ko, to_move):
     """Batched analysis: [B, n, n] int8 stones (+ [B] scalars) ->
     dict(legal [B, nn] bool, libs [B, n, n] int32 capped at 5,

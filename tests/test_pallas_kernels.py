@@ -1,0 +1,148 @@
+"""Differential tests for the Pallas board kernels (interpreter mode).
+
+The kernels are the TPU hot path; the XLA implementations in game/ are the
+reference semantics. Every output must be cell-exact. These run in Pallas
+interpreter mode on CPU (SELF_CHECK-style differential testing, the role
+the reference fills with its GPU-vs-CPU -DSELF_CHECK build,
+network.cc:333-360 — here applied to the rules kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sayuri_tpu.ops import analysis as AK
+from sayuri_tpu.ops import flood as FK
+from sayuri_tpu.game import analysis as GA
+from sayuri_tpu.game import board as B
+from sayuri_tpu.game.state import GoEnv
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    AK.INTERPRET = True
+    yield
+    AK.INTERPRET = False
+
+
+def random_states(b=6, n=9, moves=25, seed=0):
+    env = GoEnv(n=n)
+    rng = np.random.RandomState(seed)
+    states = env.new_batch(b, komi=7.5)
+    step = jax.jit(jax.vmap(env.step))
+    legal_fn = jax.jit(jax.vmap(env.legal_action_mask))
+    for _ in range(moves):
+        legal = np.asarray(legal_fn(states))[:, : n * n]
+        acts = np.array(
+            [
+                rng.choice(np.nonzero(l)[0]) if l.any() else n * n
+                for l in legal
+            ]
+        )
+        states = step(states, jnp.asarray(acts, jnp.int32))
+    return env, states
+
+
+class TestAnalysisKernel:
+    def test_matches_xla_reference(self):
+        env, states = random_states()
+        n = env.n
+        out = AK.board_analysis_tpu(
+            states.stones, states.size, states.ko, states.to_move
+        )
+        legal_fn = jax.jit(jax.vmap(env.legal_action_mask))
+        ref_legal = np.asarray(legal_fn(states))[:, : n * n]
+        assert (ref_legal == np.asarray(out["legal"])).all()
+
+        def ref_libs(s):
+            mask = B.board_mask(s.size, n)
+            empty = (s.stones == 0) & mask
+            lb = B.chain_labels((s.stones == 1) & mask)
+            lw = B.chain_labels((s.stones == 2) & mask)
+            return B.chain_liberty_map(
+                (s.stones == 1) & mask, lb, empty
+            ) + B.chain_liberty_map((s.stones == 2) & mask, lw, empty)
+
+        rl = np.asarray(jax.vmap(ref_libs)(states))
+        assert (np.minimum(rl, 5) == np.asarray(out["libs"])).all()
+
+        ro = np.asarray(
+            jax.vmap(lambda s: B.area_ownership(s.stones, s.size))(states)
+        )
+        assert (ro == np.asarray(out["ownership"])).all()
+
+        for i in range(states.stones.shape[0]):
+            s_i = jax.tree.map(lambda x: x[i], states)
+            sf, so = GA.safe_and_ownership(s_i.stones, s_i.size)
+            assert (
+                np.asarray(sf) == np.asarray(out["safe"][i])
+            ).all(), f"safe mismatch lane {i}"
+            assert (
+                np.asarray(so) == np.asarray(out["score_ownership"][i])
+            ).all(), f"score ownership mismatch lane {i}"
+
+    def test_benson_pass_alive_shape(self):
+        rows = [
+            ".X.X.OO..",
+            "XXXX.O.O.",
+            ".....OO..",
+            ".........",
+            "..OOO....",
+            "..O.O....",
+            "..OOO....",
+            "XX.......",
+            ".X.......",
+        ]
+        n = 9
+        b = np.zeros((n, n), np.int8)
+        for y, r in enumerate(rows):
+            for x, ch in enumerate(r):
+                b[y, x] = {".": 0, "X": 1, "O": 2}[ch]
+        out = AK.board_analysis_tpu(
+            jnp.asarray(b)[None],
+            jnp.asarray([9]),
+            jnp.asarray([-1]),
+            jnp.asarray([0]),
+        )
+        sf, so = GA.safe_and_ownership(jnp.asarray(b), jnp.int32(9))
+        assert (np.asarray(sf) == np.asarray(out["safe"][0])).all()
+        assert (np.asarray(so) == np.asarray(out["score_ownership"][0])).all()
+        assert np.asarray(out["safe"][0]).sum() > 0  # real pass-alive group
+
+
+class TestStepKernel:
+    def test_step_matches_env(self):
+        env, states = random_states(b=4, n=7, moves=10, seed=3)
+        n = env.n
+        rng = np.random.RandomState(7)
+        step = jax.jit(jax.vmap(env.step))
+        legal_fn = jax.jit(jax.vmap(env.legal_action_mask))
+        for i in range(12):
+            legal = np.asarray(legal_fn(states))[:, : n * n]
+            acts = np.array(
+                [
+                    rng.choice(np.nonzero(l)[0]) if l.any() else n * n
+                    for l in legal
+                ]
+            )
+            if i % 5 == 2:
+                acts[0] = n * n  # pass
+            out = AK.step_and_analyze_tpu(
+                states.stones,
+                states.size,
+                states.ko,
+                states.to_move,
+                jnp.asarray(acts),
+            )
+            ref = step(states, jnp.asarray(acts, jnp.int32))
+            np.testing.assert_array_equal(
+                np.asarray(ref.stones), np.asarray(out["new_stones"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref.ko), np.asarray(out["new_ko"])
+            )
+            ref_legal = np.asarray(legal_fn(ref))[:, : n * n]
+            np.testing.assert_array_equal(
+                ref_legal, np.asarray(out["legal"])
+            )
+            states = ref
