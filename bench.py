@@ -30,7 +30,7 @@ def main():
     from sayuri_tpu.models.evaluator import make_eval_fn
     from sayuri_tpu.models.network import NetConfig, SayuriNet
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
 
     env = GoEnv(n=19)
