@@ -28,7 +28,11 @@ KNOWN_COMMANDS = [
     "sayuri-planes", "sayuri-raw_nn", "lz-analyze", "lz-genmove_analyze",
     "kata-analyze", "kata-genmove_analyze", "sayuri-analyze",
     "sayuri-genmove_analyze", "netbench", "benchmark", "genbook",
-    "loadbook",
+    "loadbook", "gogui-analyze_commands", "gogui-rules_game_id",
+    "gogui-rules_board", "gogui-rules_board_size",
+    "gogui-rules_legal_moves", "gogui-rules_side_to_move",
+    "gogui-rules_final_result", "gogui-policy_heatmap",
+    "gogui-ownership_heatmap", "selfplay-genmove",
 ]
 
 _HANDICAP_9 = {  # standard star points for fixed_handicap on odd boards
@@ -381,6 +385,92 @@ class GtpLoop:
         else:
             return False, f"unsupported option {name}"
         return True, ""
+
+    # -- gogui extensions (gtp.cc:767-1161 family) ---------------------
+
+    def _cmd_gogui_analyze_commands(self, args):
+        return True, "\n".join(
+            [
+                "dboard/Policy Heatmap/gogui-policy_heatmap",
+                "dboard/Ownership Heatmap/gogui-ownership_heatmap",
+                "string/Final Result/gogui-rules_final_result",
+            ]
+        )
+
+    def _cmd_gogui_rules_game_id(self, args):
+        return True, "Go"
+
+    def _cmd_gogui_rules_board_size(self, args):
+        return True, str(self.agent.size)
+
+    def _cmd_gogui_rules_side_to_move(self, args):
+        return True, "black" if self.agent.to_move() == 0 else "white"
+
+    def _cmd_gogui_rules_board(self, args):
+        s = self.agent.stones()
+        size = self.agent.size
+        rows = []
+        for y in range(size - 1, -1, -1):
+            rows.append(
+                " ".join(".XO"[int(s[y, x])] for x in range(size))
+            )
+        return True, "\n".join(rows)
+
+    def _cmd_gogui_rules_legal_moves(self, args):
+        import jax
+        import numpy as np
+
+        mask = np.asarray(
+            jax.jit(jax.vmap(self.agent.env.legal_action_mask))(
+                self.agent.state
+            )
+        )[0]
+        size = self.agent.size
+        out = [
+            vertex_to_gtp(v, size)
+            for v in range(size * size)
+            if mask[v]
+        ]
+        out.append("pass")
+        return True, " ".join(out)
+
+    def _cmd_gogui_rules_final_result(self, args):
+        return True, self.agent.final_score_str()
+
+    def _cmd_gogui_policy_heatmap(self, args):
+        evals = self.agent.raw_nn()
+        size = self.agent.size
+        probs = evals["priors"][: size * size]
+        rows = []
+        for y in range(size - 1, -1, -1):
+            rows.append(
+                " ".join(
+                    f"{probs[y * size + x]:.3f}" for x in range(size)
+                )
+            )
+        return True, "\n".join(rows)
+
+    def _cmd_gogui_ownership_heatmap(self, args):
+        evals = self.agent.raw_nn()
+        size = self.agent.size
+        own = evals["black_ownership"][: size * size]
+        rows = []
+        for y in range(size - 1, -1, -1):
+            rows.append(
+                " ".join(f"{own[y * size + x]:+.2f}" for x in range(size))
+            )
+        return True, "\n".join(rows)
+
+    def _cmd_selfplay_genmove(self, args):
+        """Self-play-policy move (exploration settings on): the reference's
+        in-process selfplay probe (gtp.cc:334-347)."""
+        color = _color_arg(args[0]) if args else self.agent.to_move()
+        move, tree = self.agent.genmove(color)
+        if move == "resign":
+            return True, "resign"
+        return True, vertex_to_gtp(
+            move if move < self.agent.size**2 else None, self.agent.size
+        )
 
     def _cmd_genbook(self, args):
         # genbook <sgf_dir> <out_file> (gtp.cc:643-660)

@@ -121,9 +121,13 @@ class Trainer:
                 optax.add_decayed_weights(cfg.weight_decay),
                 optax.sgd(lr_fn, momentum=0.9, nesterov=True),
             )
-        return optax.chain(
+        tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.grad_clip), opt
         )
+        if cfg.macro_factor > 1:
+            # macro-batch gradient accumulation (train.py:665-675)
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.macro_factor)
+        return tx
 
     # ------------------------------------------------------------------
 

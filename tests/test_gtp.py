@@ -108,3 +108,26 @@ class TestGtp:
         text = out.getvalue()
         assert "= sayuri-tpu" in text
         assert "? unknown command" in text
+
+
+class TestGoguiCommands:
+    def test_gogui_family(self, loop):
+        loop.execute("clear_board")
+        loop.execute("play b C3")
+        ok, body = loop.execute("gogui-analyze_commands")
+        assert ok and "dboard" in body
+        assert loop.execute("gogui-rules_game_id") == (True, "Go")
+        assert loop.execute("gogui-rules_board_size") == (True, "5")
+        assert loop.execute("gogui-rules_side_to_move") == (True, "white")
+        ok, board = loop.execute("gogui-rules_board")
+        assert ok and "X" in board
+        ok, moves = loop.execute("gogui-rules_legal_moves")
+        assert ok and "pass" in moves and "C3" not in moves.split()
+        ok, hm = loop.execute("gogui-policy_heatmap")
+        assert ok and len(hm.splitlines()) == 5
+        ok, om = loop.execute("gogui-ownership_heatmap")
+        assert ok and len(om.splitlines()) == 5
+        ok, mv = loop.execute("selfplay-genmove w")
+        assert ok
+        loop.execute("undo")
+        loop.execute("undo")
