@@ -738,6 +738,144 @@ class MCTS:
         return lax.fori_loop(0, num_sims, body, tree)
 
     # ------------------------------------------------------------------
+    # tree reuse across moves (AdvanceToNewRootState, search.cc:1345-1414)
+    # ------------------------------------------------------------------
+
+    def advance_root(self, tree: Tree, actions, new_root_states: GoState,
+                     rng, use_noise=None, use_gumbel=None, prior_mask=None,
+                     ctx=None):
+        """Re-root each tree at the chosen move's child and compact the
+        retained subtree to the front of the node arrays; lanes whose child
+        was never expanded fall back to a fresh tree.
+
+        The reference walks the old tree and grafts the kept subtree
+        (search.cc:1345-1414); here membership is computed by pointer-
+        doubling over the parent array and the compaction is a prefix-sum
+        renumbering + scatter — one batched pass per move."""
+        cfg = self.cfg
+        b = tree.visits.shape[0]
+        n_nodes = cfg.max_nodes
+        b_idx = jnp.arange(b)
+        bb = b_idx[:, None]
+        nodes = jnp.arange(n_nodes)[None, :]
+
+        new_root = tree.child[b_idx, 0, actions]          # [B] (-1 = none)
+        has_reuse = (new_root >= 0) & ~tree.terminal[:, 0]
+        root_safe = jnp.maximum(new_root, 0)
+
+        # --- membership via pointer doubling over parents ---
+        in_sub = nodes == root_safe[:, None]
+        # parent pointers with self-loops at roots (-1) for safe jumping
+        anc = jnp.where(tree.parent >= 0, tree.parent, nodes)
+        steps = max(1, int(np.ceil(np.log2(max(cfg.max_depth, 2)))) + 1)
+        for _ in range(steps):
+            in_sub = in_sub | jnp.take_along_axis(in_sub, anc, axis=1)
+            anc = jnp.take_along_axis(anc, anc, axis=1)
+        in_sub = in_sub & (nodes < tree.next_free[:, None])
+
+        # --- renumber: new_root -> 0, others by old-index rank ---
+        is_other = in_sub & (nodes != root_safe[:, None])
+        rank = jnp.cumsum(is_other.astype(jnp.int32), axis=1)
+        new_id = jnp.where(nodes == root_safe[:, None], 0, rank)
+        new_id = jnp.where(in_sub, new_id, n_nodes)       # drop non-members
+        count = 1 + rank[:, -1]
+
+        def remap_nodes(c):
+            """old child/parent index -> new index (-1 preserved)."""
+            safe = jnp.maximum(c, 0)
+            mapped = jnp.take_along_axis(
+                jnp.concatenate([new_id, jnp.full((b, 1), n_nodes)], 1),
+                safe.reshape(b, -1),
+                axis=1,
+            ).reshape(c.shape)
+            return jnp.where((c >= 0) & (mapped < n_nodes), mapped, -1)
+
+        def compact(arr):
+            """scatter members to their new slots ([B, N, ...] arrays)."""
+            return jnp.zeros_like(arr).at[bb, new_id].set(arr, mode="drop")
+
+        reused = tree.replace(
+            prior=compact(tree.prior),
+            child=jnp.full_like(tree.child, -1).at[bb, new_id].set(
+                remap_nodes(tree.child), mode="drop"
+            ),
+            edges=compact(tree.edges),
+            parent=jnp.full_like(tree.parent, -1).at[bb, new_id].set(
+                remap_nodes(tree.parent), mode="drop"
+            ).at[:, 0].set(-1),
+            parent_action=compact(tree.parent_action),
+            visits=compact(tree.visits),
+            acc_wl=compact(tree.acc_wl),
+            acc_draw=compact(tree.acc_draw),
+            acc_score=compact(tree.acc_score),
+            sq_eval_diff=compact(tree.sq_eval_diff),
+            sq_score_diff=compact(tree.sq_score_diff),
+            net_wl=compact(tree.net_wl),
+            net_score=compact(tree.net_score),
+            score_eval=compact(tree.score_eval),
+            terminal=compact(tree.terminal),
+            valid=compact(tree.valid),
+            states=jax.tree.map(
+                lambda x: jnp.zeros_like(x).at[bb, new_id].set(
+                    x, mode="drop"
+                ),
+                tree.states,
+            ),
+            next_free=count,
+        )
+
+        # --- fresh tree for all lanes (also supplies new root evals,
+        # noise, gumbel); select per lane ---
+        fresh = self.init_tree(
+            new_root_states,
+            rng,
+            use_noise=use_noise,
+            use_gumbel=use_gumbel,
+            prior_mask=prior_mask,
+            ctx=ctx,
+        )
+
+        # reused lanes: overwrite root state with the authoritative game
+        # state, refresh noise/gumbel buffers, apply the superko prior mask
+        slim = new_root_states.replace(
+            hash_history=new_root_states.hash_history[:, :1, :]
+        )
+        reused = reused.replace(
+            states=jax.tree.map(
+                lambda buf, root: buf.at[:, 0].set(root),
+                reused.states,
+                slim,
+            ),
+            root_noise=fresh.root_noise,
+            root_gumbel=fresh.root_gumbel,
+            use_noise=fresh.use_noise,
+            use_gumbel=fresh.use_gumbel,
+            root_ownership=fresh.root_ownership,
+        )
+        if prior_mask is not None:
+            pri = jnp.where(prior_mask, reused.prior[:, 0], 0.0)
+            pri = pri / jnp.maximum(
+                jnp.sum(pri, axis=-1, keepdims=True), 1e-12
+            )
+            reused = reused.replace(
+                prior=reused.prior.at[:, 0].set(pri)
+            )
+
+        out = jax.tree.map(
+            lambda r, f: jnp.where(
+                jnp.reshape(
+                    has_reuse,
+                    has_reuse.shape + (1,) * (r.ndim - 1),
+                ),
+                r,
+                f,
+            ),
+            reused,
+            fresh,
+        )
+        return out, has_reuse
+
+    # ------------------------------------------------------------------
     # results
     # ------------------------------------------------------------------
 

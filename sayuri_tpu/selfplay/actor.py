@@ -76,11 +76,16 @@ class MoveRecord(NamedTuple):
 
 
 class SelfplayActor:
-    def __init__(self, env: GoEnv, mcts: MCTS, cfg: SelfplayConfig):
+    def __init__(self, env: GoEnv, mcts: MCTS, cfg: SelfplayConfig,
+                 reuse_tree: bool = True):
         self.env = env
         self.mcts = mcts
         self.cfg = cfg
+        # tree reuse across moves = the reference's default "visit cap
+        # oscillation" mode (GetSelfPlayMove, search.cc:948-960)
+        self.reuse_tree = reuse_tree
         self._move_step = jax.jit(self._move_step_impl)
+        self._move_step_reuse = jax.jit(self._move_step_impl)
 
     # ------------------------------------------------------------------
 
@@ -203,7 +208,8 @@ class SelfplayActor:
         is_area = states.rule == AREA_RULE
         return early | (is_area & area_checks)
 
-    def _move_step_impl(self, states, rng, already_lost):
+    def _move_step_impl(self, states, rng, already_lost, prev_tree=None,
+                        prev_action=None):
         env, mcts, cfg = self.env, self.mcts, self.cfg
         b = states.stones.shape[0]
         b_idx = jnp.arange(b)
@@ -244,17 +250,32 @@ class SelfplayActor:
             )(states)
         }
 
-        tree = mcts.init_tree(
-            states,
-            k_tree,
-            use_noise=use_noise,
-            use_gumbel=use_gumbel,
-            prior_mask=~superko,
-            ctx=ctx,
-        )
+        if prev_tree is None:
+            tree = mcts.init_tree(
+                states,
+                k_tree,
+                use_noise=use_noise,
+                use_gumbel=use_gumbel,
+                prior_mask=~superko,
+                ctx=ctx,
+            )
+        else:
+            tree, _ = mcts.advance_root(
+                prev_tree,
+                prev_action,
+                states,
+                k_tree,
+                use_noise=use_noise,
+                use_gumbel=use_gumbel,
+                prior_mask=~superko,
+                ctx=ctx,
+            )
         raw_priors = tree.prior[:, 0]
         raw_nn_ownership = tree.root_ownership  # == NN ownership before sims
-        tree = mcts.run(tree, cfg.playouts, budget=budget, ctx=ctx)
+        # visit-cap semantics under reuse: the budget tops the root up to
+        # the target visit count (search.cc:948-960)
+        budget_eff = jnp.maximum(budget - (tree.visits[:, 0] - 1), 0)
+        tree = mcts.run(tree, cfg.playouts, budget=budget_eff, ctx=ctx)
 
         # --- root stats ---
         root_v = jnp.maximum(tree.visits[:, 0], 1)
@@ -362,8 +383,8 @@ class SelfplayActor:
             move=move,
             active=active,
         )
-        new_states = jax.vmap(env.step)(states, move)
-        return new_states, record, new_lost
+        new_states, _ = env.step_batch_with_analysis(states, move)
+        return new_states, record, new_lost, tree, move
 
     # ------------------------------------------------------------------
 
@@ -376,11 +397,19 @@ class SelfplayActor:
         b = states.stones.shape[0]
         already_lost = jnp.zeros((b,), bool)
         records = []
+        tree = move = None
         for t in range(max_moves):
             rng, sub = jax.random.split(rng)
-            states, rec, already_lost = self._move_step(
-                states, sub, already_lost
-            )
+            if tree is None or not self.reuse_tree:
+                states, rec, already_lost, tree, move = self._move_step(
+                    states, sub, already_lost
+                )
+            else:
+                states, rec, already_lost, tree, move = (
+                    self._move_step_reuse(
+                        states, sub, already_lost, tree, move
+                    )
+                )
             records.append(rec)
             if bool(states.terminated.all()):
                 break

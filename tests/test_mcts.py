@@ -140,3 +140,66 @@ class TestSearch:
         mcts, tree = run_search(env, states, 10, cfg)
         # no children expanded on a terminated game
         assert (np.asarray(tree.next_free) == 1).all()
+
+
+class TestTreeReuse:
+    def test_advance_root_preserves_subtree(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(3, komi=0.5)
+        cfg = SearchConfig(max_nodes=64, max_depth=16)
+        mcts, tree = run_search(env, states, 40, cfg)
+        best = mcts.best_move(tree)
+        b_idx = np.arange(3)
+        old_child = np.asarray(tree.child[:, 0])[b_idx, np.asarray(best)]
+        old_child_visits = np.asarray(
+            mcts.root_child_visits(tree)
+        )[b_idx, np.asarray(best)]
+        old_edges_row = np.asarray(tree.edges)[
+            b_idx, np.maximum(old_child, 0)
+        ]
+
+        step = jax.jit(jax.vmap(env.step))
+        new_states = step(states, best)
+        new_tree, has_reuse = mcts.advance_root(
+            tree, best, new_states, jax.random.PRNGKey(5)
+        )
+        has_reuse = np.asarray(has_reuse)
+        assert has_reuse.any(), "best move should have an expanded child"
+        for i in range(3):
+            if not has_reuse[i]:
+                continue
+            # the new root carries the old child's visit count
+            assert int(new_tree.visits[i, 0]) == old_child_visits[i]
+            # its edge stats moved with it (child rows renumbered but visit
+            # totals preserved)
+            assert (
+                np.asarray(new_tree.edges[i, 0, :, 0]).sum()
+                == old_edges_row[i, :, 0].sum()
+            )
+            # node count shrank to the subtree
+            assert int(new_tree.next_free[i]) <= int(tree.next_free[i])
+            # parents of the new root are cleared
+            assert int(new_tree.parent[i, 0]) == -1
+
+    def test_advance_then_search_continues(self):
+        env = GoEnv(n=5)
+        states = env.new_batch(2, komi=0.5)
+        cfg = SearchConfig(max_nodes=64, max_depth=16)
+        mcts, tree = run_search(env, states, 30, cfg)
+        best = mcts.best_move(tree)
+        step = jax.jit(jax.vmap(env.step))
+        new_states = step(states, best)
+        new_tree, _ = mcts.advance_root(
+            tree, best, new_states, jax.random.PRNGKey(6)
+        )
+        v0 = np.asarray(new_tree.visits[:, 0]).copy()
+        new_tree = mcts.run(new_tree, 20)
+        v1 = np.asarray(new_tree.visits[:, 0])
+        np.testing.assert_array_equal(v1, v0 + 20)
+        # consistency: root child visits sum = root visits - 1
+        cv = np.asarray(mcts.root_child_visits(new_tree)).sum(-1)
+        np.testing.assert_array_equal(cv, v1 - 1)
+        best2 = np.asarray(mcts.best_move(new_tree))
+        legal = np.asarray(jax.jit(jax.vmap(env.legal_action_mask))(new_states))
+        for i in range(2):
+            assert legal[i, best2[i]]
