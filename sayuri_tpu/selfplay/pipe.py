@@ -169,17 +169,26 @@ class SelfPlayPipe:
         end = np.asarray(targets["end"])
         winner = np.asarray(targets["winner"])
         sgf_dir = self.out_dir / "sgf"
+        sizes = np.asarray(records[0].states.size)
+        komis = np.asarray(records[0].states.komi)
+        n = self.env.n
         for i in range(self.parallel_games):
+            size = int(sizes[i])
             moves = []
             for t in range(int(end[i])):
                 rec = records[t]
                 color = int(np.asarray(rec.states.to_move)[i])
                 mv = int(np.asarray(rec.move)[i])
-                v = mv if mv < self.env.pass_action else None
+                if mv >= self.env.pass_action:
+                    v = None
+                else:
+                    # buffer-flat index -> board-flat index for this size
+                    y, x = divmod(mv, n)
+                    v = y * size + x if (y < size and x < size) else None
                 moves.append((color, v))
             result = {1: "B+R", -1: "W+R", 0: "0"}[int(winner[i])]
             text = SGF.game_to_sgf(
-                self.env.n, self.komi, moves, result=result
+                size, float(komis[i]), moves, result=result
             )
             idx = self.games_done + i
             (sgf_dir / f"{self.run_id}_{idx:06d}.sgf").write_text(text)

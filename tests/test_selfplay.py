@@ -144,3 +144,30 @@ class TestSelfplay:
         assert data.board_size == 5
         assert data.to_move in (0, 1)
         assert abs(sum(data.prob) - 1.0) < 1e-3
+
+
+class TestDeterminism:
+    def test_fixed_seed_exact_match(self):
+        """North-star config 1 (BASELINE.json): identical seeds produce
+        bit-identical self-play trajectories — the array search has no
+        thread scheduling or unordered float accumulation to break it."""
+        env, actor = small_setup()
+        states = env.new_batch(2, komi=4.5)
+        f1, r1 = actor.play_games(states, jax.random.PRNGKey(42), max_moves=20)
+        env2, actor2 = small_setup()
+        states2 = env2.new_batch(2, komi=4.5)
+        f2, r2 = actor2.play_games(
+            states2, jax.random.PRNGKey(42), max_moves=20
+        )
+        assert len(r1) == len(r2)
+        for a, b in zip(r1, r2):
+            np.testing.assert_array_equal(np.asarray(a.move), np.asarray(b.move))
+            np.testing.assert_array_equal(
+                np.asarray(a.states.stones), np.asarray(b.states.stones)
+            )
+            np.testing.assert_allclose(
+                np.asarray(a.target_policy), np.asarray(b.target_policy)
+            )
+        np.testing.assert_array_equal(
+            np.asarray(f1.stones), np.asarray(f2.stones)
+        )
