@@ -115,22 +115,49 @@ class Tree:
     # node data [B, N]
     parent: jnp.ndarray          # i32 (-1 for root)
     parent_action: jnp.ndarray   # i32
-    visits: jnp.ndarray          # i32
-    acc_wl: jnp.ndarray          # f32 sum of black win prob
-    acc_draw: jnp.ndarray        # f32
-    acc_score: jnp.ndarray       # f32 sum of black score
-    sq_eval_diff: jnp.ndarray    # f32 Welford accumulator (node.cc:692-734)
-    sq_score_diff: jnp.ndarray   # f32
-    net_wl: jnp.ndarray          # f32 raw NN value (black)
+    # packed per-node stats [B, N, 8] f32 — ONE gather + scatter per backup
+    # instead of an indexed op per field:
+    #   0 visits, 1 acc_wl (black), 2 acc_draw, 3 acc_score (black),
+    #   4 sq_eval_diff, 5 sq_score_diff (Welford, node.cc:692-734),
+    #   6 score_eval cache (black; E[atan] is odd so white = negation,
+    #     center = per-search constant, node.cc:757-768), 7 net_wl (black)
+    stats: jnp.ndarray
     net_score: jnp.ndarray       # f32 raw NN score (black)
     terminal: jnp.ndarray        # bool
     valid: jnp.ndarray           # bool (root superko purge clears these)
-    # cached per-node score utility in BLACK perspective (node.cc:757-768).
-    # E[atan] is odd in its argument, so the white-perspective value is just
-    # the negation; the center is the per-search constant
-    # recent_expected_black_score, so the cache only changes when a node's
-    # stats change — recomputed for backup-path nodes each simulation.
-    score_eval: jnp.ndarray      # f32 [B, N]
+
+    # ---- read-compatibility views over the packed stats ----
+    @property
+    def visits(self):
+        return self.stats[..., 0].astype(jnp.int32)
+
+    @property
+    def acc_wl(self):
+        return self.stats[..., 1]
+
+    @property
+    def acc_draw(self):
+        return self.stats[..., 2]
+
+    @property
+    def acc_score(self):
+        return self.stats[..., 3]
+
+    @property
+    def sq_eval_diff(self):
+        return self.stats[..., 4]
+
+    @property
+    def sq_score_diff(self):
+        return self.stats[..., 5]
+
+    @property
+    def score_eval(self):
+        return self.stats[..., 6]
+
+    @property
+    def net_wl(self):
+        return self.stats[..., 7]
 
     # per-node game state (leading dims [B, N])
     states: GoState
@@ -229,19 +256,36 @@ class MCTS:
         noise = self._sample_dirichlet(rng, evals.priors)
         gumbel = self._sample_gumbel(rng, evals.priors)
 
+        root_se = (
+            expected_score_value(
+                evals.black_score,
+                jnp.ones((b,)),
+                evals.black_score,
+                cfg.score_utility_div,
+                float(self.env.n),
+            )
+            * cfg.score_utility_factor
+        )
+        root_stats = jnp.stack(
+            [
+                jnp.ones((b,)),          # visits
+                evals.black_wl,          # acc_wl
+                evals.draw,              # acc_draw
+                evals.black_score,       # acc_score
+                jnp.zeros((b,)),         # sq_eval_diff
+                jnp.zeros((b,)),         # sq_score_diff
+                root_se,                 # score_eval cache
+                evals.black_wl,          # net_wl
+            ],
+            axis=-1,
+        )
         tree = Tree(
             prior=zeros((b, n_nodes, A)).at[:, 0].set(evals.priors),
             child=jnp.full((b, n_nodes, A), -1, jnp.int32),
             edges=zeros((b, n_nodes, A, 5)),
             parent=jnp.full((b, n_nodes), -1, jnp.int32),
             parent_action=jnp.full((b, n_nodes), -1, jnp.int32),
-            visits=zeros((b, n_nodes), jnp.int32).at[:, 0].set(1),
-            acc_wl=zeros((b, n_nodes)).at[:, 0].set(evals.black_wl),
-            acc_draw=zeros((b, n_nodes)).at[:, 0].set(evals.draw),
-            acc_score=zeros((b, n_nodes)).at[:, 0].set(evals.black_score),
-            sq_eval_diff=zeros((b, n_nodes)),
-            sq_score_diff=zeros((b, n_nodes)),
-            net_wl=zeros((b, n_nodes)).at[:, 0].set(evals.black_wl),
+            stats=zeros((b, n_nodes, 8)).at[:, 0].set(root_stats),
             net_score=zeros((b, n_nodes)).at[:, 0].set(evals.black_score),
             terminal=zeros((b, n_nodes), bool).at[:, 0].set(
                 root_states.terminated
@@ -259,16 +303,6 @@ class MCTS:
             ),
             use_gumbel=(
                 jnp.full((b,), cfg.gumbel) if use_gumbel is None else use_gumbel
-            ),
-            score_eval=zeros((b, n_nodes)).at[:, 0].set(
-                expected_score_value(
-                    evals.black_score,
-                    jnp.ones((b,)),
-                    evals.black_score,
-                    cfg.score_utility_div,
-                    float(self.env.n),
-                )
-                * cfg.score_utility_factor
             ),
         )
         return tree
@@ -454,14 +488,35 @@ class MCTS:
         root_score = tree.acc_score[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
 
         # ---- descent ----
+        # depth 0 is hoisted out of the loop: every lane is at the root
+        # there, which is the ONLY level where Gumbel/noise selection
+        # applies — the loop body then runs plain PUCT with no per-level
+        # Gumbel sort/SH work
+        path0 = jnp.full((b, cfg.max_depth), -1, jnp.int32)
+        done0 = tree.terminal[:, 0]
+        all_root = jnp.ones((b,), bool)
+        a0 = self._select_action(
+            tree, jnp.zeros((b,), jnp.int32), all_root, root_score, sim_idx
+        )
+        path = path0.at[:, 0].set(jnp.where(done0, -1, 0))
+        path_a = path0.at[:, 0].set(jnp.where(done0, -1, a0))
+        child0 = tree.child[b_idx, 0, a0]
+        child0_term = jnp.where(
+            child0 >= 0, tree.terminal[b_idx, jnp.maximum(child0, 0)], False
+        )
+        done1 = done0 | (child0 < 0) | child0_term
+        cur1 = jnp.where(done1, 0, jnp.maximum(child0, 0))
+
+        not_root = jnp.zeros((b,), bool)
+
         def cond(carry):
             _, _, _, done, depth = carry
             return jnp.any(~done) & (depth < cfg.max_depth)
 
         def body(carry):
             cur, path, path_a, done, depth = carry
-            is_root = cur == 0
-            a = self._select_action(tree, cur, is_root, root_score, sim_idx)
+            scores = self._puct_scores(tree, cur, not_root, root_score)
+            a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             child = tree.child[b_idx, cur, a]
             # record step
             path = path.at[:, depth].set(jnp.where(done, -1, cur))
@@ -474,17 +529,10 @@ class MCTS:
             cur = jnp.where(new_done, cur, jnp.maximum(child, 0))
             return cur, path, path_a, new_done, depth + 1
 
-        path0 = jnp.full((b, cfg.max_depth), -1, jnp.int32)
         cur, path, path_a, done, depth = lax.while_loop(
             cond,
             body,
-            (
-                jnp.zeros((b,), jnp.int32),
-                path0,
-                path0,
-                tree.terminal[:, 0],  # terminal root: no descent
-                jnp.int32(0),
-            ),
+            (cur1, path, path_a, done1, jnp.int32(1)),
         )
 
         # leaf edge = last recorded (node, action) per lane
@@ -581,7 +629,14 @@ class MCTS:
             ),
             parent=set_node(tree.parent, leaf_parent),
             parent_action=set_node(tree.parent_action, leaf_action),
-            net_wl=set_node(tree.net_wl, black_wl),
+            # net_wl lives in stats slot 7; visits/accumulators start at 0
+            stats=tree.stats.at[b_idx, node_for_stats, 7].set(
+                jnp.where(
+                    can_expand,
+                    black_wl,
+                    tree.stats[b_idx, node_for_stats, 7],
+                )
+            ),
             net_score=set_node(tree.net_score, black_score),
             terminal=set_node(tree.terminal, term),
             valid=tree.valid.at[b_idx, node_for_stats].set(
@@ -617,48 +672,31 @@ class MCTS:
         idx_safe = jnp.maximum(upd_idx, 0)
         bb = b_idx[:, None]
 
-        old_v = tree.visits[bb, idx_safe]
-        old_wl = tree.acc_wl[bb, idx_safe]
-        old_sc = tree.acc_score[bb, idx_safe]
+        old = tree.stats[bb, idx_safe]                   # [B, D+2, 8]
+        old_v = old[..., 0]
+        old_wl = old[..., 1]
+        old_sc = old[..., 3]
 
         def wdelta(x, old_acc, ov):
             old_delta = jnp.where(
-                ov > 0, x - old_acc / jnp.maximum(ov, 1), 0.0
+                ov > 0, x - old_acc / jnp.maximum(ov, 1.0), 0.0
             )
-            new_delta = x - (old_acc + x) / (ov + 1)
+            new_delta = x - (old_acc + x) / (ov + 1.0)
             return old_delta * new_delta
 
         wl_e = black_wl[:, None]
         dr_e = draw[:, None]
         sc_e = black_score[:, None]
-        vi = ok.astype(jnp.int32)
         vf = ok.astype(jnp.float32)
-        # masked-out entries scatter to node 0 with zero contribution
-        idx_scatter = jnp.where(ok, idx_safe, 0)
-        tree = tree.replace(
-            visits=tree.visits.at[bb, idx_scatter].add(vi),
-            acc_wl=tree.acc_wl.at[bb, idx_scatter].add(wl_e * vf),
-            acc_draw=tree.acc_draw.at[bb, idx_scatter].add(dr_e * vf),
-            acc_score=tree.acc_score.at[bb, idx_scatter].add(sc_e * vf),
-            sq_eval_diff=tree.sq_eval_diff.at[bb, idx_scatter].add(
-                wdelta(wl_e, old_wl, old_v) * vf
-            ),
-            sq_score_diff=tree.sq_score_diff.at[bb, idx_scatter].add(
-                wdelta(sc_e, old_sc, old_v) * vf
-            ),
-        )
 
-        # refresh the score-utility cache for the nodes whose stats changed
-        # (gather-compute-scatter over the backup path only — the selection
-        # loop then reads it with one gather instead of recomputing the
-        # Gauss-Hermite integral for all children at every level)
-        nv2 = tree.visits[bb, idx_safe]
-        mean2 = tree.acc_score[bb, idx_safe] / jnp.maximum(nv2, 1)
-        var2 = jnp.where(
-            nv2 > 1,
-            tree.sq_score_diff[bb, idx_safe] / jnp.maximum(nv2 - 1, 1),
-            1.0,
-        )
+        # score-utility cache for the updated node (computed from the
+        # POST-update stats; the center is the per-search constant — see
+        # the Tree.stats docstring)
+        nv2 = old_v + 1.0
+        acc_sc2 = old_sc + sc_e
+        sqs2 = old[..., 5] + wdelta(sc_e, old_sc, old_v)
+        mean2 = acc_sc2 / nv2
+        var2 = jnp.where(nv2 > 1.0, sqs2 / jnp.maximum(nv2 - 1.0, 1.0), 1.0)
         center = self._score_center(tree)[:, None]
         se_new = (
             expected_score_value(
@@ -670,19 +708,30 @@ class MCTS:
             )
             * cfg.score_utility_factor
         )
-        # masked entries must NOT alias node 0 (the root IS a real path
-        # entry): route them out of bounds and drop
-        idx_drop = jnp.where(ok, idx_safe, cfg.max_nodes)
+
+        delta = jnp.stack(
+            [
+                vf,                                        # visits
+                wl_e * vf,
+                dr_e * vf,
+                sc_e * vf,
+                wdelta(wl_e, old_wl, old_v) * vf,
+                wdelta(sc_e, old_sc, old_v) * vf,
+                (se_new - old[..., 6]) * vf,               # cache -> se_new
+                jnp.zeros_like(vf),                        # net_wl unchanged
+            ],
+            axis=-1,
+        )
+        # masked-out entries scatter a zero delta onto node 0 (harmless)
+        idx_scatter = jnp.where(ok, idx_safe, 0)
         tree = tree.replace(
-            score_eval=tree.score_eval.at[bb, idx_drop].set(
-                se_new, mode="drop"
-            )
+            stats=tree.stats.at[bb, idx_scatter].add(delta)
         )
 
         # ---- refresh the packed edge stats for the traversed edges ----
         # The edges touched this simulation are exactly (path, path_a);
-        # their children's just-updated node stats are gathered ([B, D]
-        # small gathers) and scattered into the packed [B, N, A, 5] rows
+        # their children's just-updated node stats are gathered in one
+        # [B, D, 8] read and scattered into the packed [B, N, A, 5] rows
         # that selection reads.
         e_ok = (path >= 0) & active[:, None]
         e_nodes = jnp.maximum(path, 0)
@@ -690,12 +739,11 @@ class MCTS:
         ch_idx = tree.child[bb, e_nodes, e_acts]
         e_ok = e_ok & (ch_idx >= 0)
         ch = jnp.maximum(ch_idx, 0)
-        ch_v = tree.visits[bb, ch].astype(jnp.float32)
-        ch_wl = tree.acc_wl[bb, ch]
-        ch_se = tree.score_eval[bb, ch]
+        chs = tree.stats[bb, ch]                          # [B, D, 8]
+        ch_v = chs[..., 0]
         ch_var = jnp.where(
             ch_v > 1.0,
-            tree.sq_eval_diff[bb, ch] / jnp.maximum(ch_v - 1.0, 1.0),
+            chs[..., 4] / jnp.maximum(ch_v - 1.0, 1.0),
             1.0,
         )
         ch_k = jnp.clip(
@@ -705,8 +753,9 @@ class MCTS:
             0.5,
             1.4,
         )
-        ch_net = tree.net_wl[bb, ch]
-        packed = jnp.stack([ch_v, ch_wl, ch_se, ch_k, ch_net], axis=-1)
+        packed = jnp.stack(
+            [ch_v, chs[..., 1], chs[..., 6], ch_k, chs[..., 7]], axis=-1
+        )
         e_nodes_drop = jnp.where(e_ok, e_nodes, cfg.max_nodes)
         tree = tree.replace(
             edges=tree.edges.at[bb, e_nodes_drop, e_acts].set(
@@ -804,15 +853,8 @@ class MCTS:
                 remap_nodes(tree.parent), mode="drop"
             ).at[:, 0].set(-1),
             parent_action=compact(tree.parent_action),
-            visits=compact(tree.visits),
-            acc_wl=compact(tree.acc_wl),
-            acc_draw=compact(tree.acc_draw),
-            acc_score=compact(tree.acc_score),
-            sq_eval_diff=compact(tree.sq_eval_diff),
-            sq_score_diff=compact(tree.sq_score_diff),
-            net_wl=compact(tree.net_wl),
+            stats=compact(tree.stats),
             net_score=compact(tree.net_score),
-            score_eval=compact(tree.score_eval),
             terminal=compact(tree.terminal),
             valid=compact(tree.valid),
             states=jax.tree.map(
