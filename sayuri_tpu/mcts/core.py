@@ -104,13 +104,11 @@ class Tree:
     # edge data [B, N, A]
     prior: jnp.ndarray       # f32, exactly 0 for illegal actions
     child: jnp.ndarray       # i32 node index or -1
-    # packed per-edge selection stats [B, N, A, 5]:
-    #   0 visits, 1 wl_sum (black), 2 score_eval (black, cached),
-    #   3 k_raw (dynamic-cpuct variance factor, cached), 4 child net_wl
-    # One contiguous row slice per descent level replaces four elementwise
-    # [B, A]-from-[B, N] gathers (XLA lowers those to serialized scalar
-    # loads on TPU — they were the dominant search cost).
-    edges: jnp.ndarray
+    # NOTE: there is deliberately NO per-edge stats array. Selection reads
+    # child-node stats through a one-hot matmul gather (_child_stats) —
+    # a round-1 [B, N, A, 5] packed-edge cache needed a scatter-set per
+    # simulation that measured ~14 ms/sim at B=256 on v5e (the single
+    # largest cost in the whole search); the MXU gather is ~0.3 ms.
 
     # node data [B, N]
     parent: jnp.ndarray          # i32 (-1 for root)
@@ -282,7 +280,6 @@ class MCTS:
         tree = Tree(
             prior=zeros((b, n_nodes, A)).at[:, 0].set(evals.priors),
             child=jnp.full((b, n_nodes, A), -1, jnp.int32),
-            edges=zeros((b, n_nodes, A, 5)),
             parent=jnp.full((b, n_nodes), -1, jnp.int32),
             parent_action=jnp.full((b, n_nodes), -1, jnp.int32),
             stats=zeros((b, n_nodes, 8)).at[:, 0].set(root_stats),
@@ -355,21 +352,66 @@ class MCTS:
     # selection
     # ------------------------------------------------------------------
 
+    def _child_stats(self, tree, node_idx=None):
+        """([B, A, 8] stats of each action's child node, [B, A] child-exists
+        mask). Zeros where no child. `node_idx=None` means the root (a
+        static slice instead of a gather).
+
+        TPU note: the [B, A]-indexed gather from the [B, N, 8] node stats
+        is expressed as a one-hot ``dot_general`` so it runs on the MXU;
+        the equivalent XLA gather/scatter at these shapes measured 2-50x
+        slower on v5e (see the Tree docstring)."""
+        if node_idx is None:
+            ch = tree.child[:, 0]
+        else:
+            b_idx = jnp.arange(node_idx.shape[0])
+            ch = tree.child[b_idx, node_idx]
+        has = ch >= 0
+        n_nodes = tree.stats.shape[1]
+        oh = (
+            jnp.where(has, ch, -1)[:, :, None]
+            == jnp.arange(n_nodes)[None, None, :]
+        )
+        g = jax.lax.dot_general(
+            oh.astype(jnp.float32),
+            tree.stats,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return g, has
+
     def _puct_scores(self, tree, node_idx, is_root, root_score):
-        """[B, A] PUCT selection scores at `node_idx` (node.cc:499-576)."""
+        """[B, A] PUCT selection scores at `node_idx` (node.cc:499-576).
+        `node_idx=None` selects at the root statically."""
         cfg = self.cfg
-        b = node_idx.shape[0]
+        b = tree.stats.shape[0]
         b_idx = jnp.arange(b)
         A = tree.num_actions
 
-        p_raw = tree.prior[b_idx, node_idx]       # [B, A] (row slice)
+        if node_idx is None:
+            p_raw = tree.prior[:, 0]
+            node_idx = jnp.zeros((b,), jnp.int32)
+            g, _ = self._child_stats(tree)
+        else:
+            p_raw = tree.prior[b_idx, node_idx]   # [B, A] (row slice)
+            g, _ = self._child_stats(tree, node_idx)
         legal = p_raw > 0
 
-        edges = tree.edges[b_idx, node_idx]       # [B, A, 5] (row slice)
-        nv = edges[..., 0]                        # f32 child visits
-        wl_sum = edges[..., 1]
-        se_b = edges[..., 2]
-        k_raw = edges[..., 3]
+        nv = g[..., 0]                            # f32 child visits
+        wl_sum = g[..., 1]
+        se_b = g[..., 6]
+        # dynamic-cpuct variance factor from the child's Welford stats
+        # (node.cc:440-461)
+        ch_var = jnp.where(
+            nv > 1.0, g[..., 4] / jnp.maximum(nv - 1.0, 1.0), 1.0
+        )
+        k_raw = jnp.clip(
+            cfg.cpuct_dynamic_k_factor
+            * jnp.sqrt(jnp.maximum(ch_var, 0.0))
+            / jnp.maximum(nv, 1.0),
+            0.5,
+            1.4,
+        )
         cv = jnp.sum(nv, axis=-1)                 # children_visits (f32)
         tvp = jnp.sum(jnp.where(nv > 0, p_raw, 0.0), axis=-1)
 
@@ -454,12 +496,13 @@ class MCTS:
         return jnp.where(legal, score, -jnp.inf)
 
     def _select_action(self, tree, node_idx, is_root, root_score, sim_idx):
-        """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382)."""
+        """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382).
+        `node_idx=None` = the root (static slice)."""
         scores = self._puct_scores(tree, node_idx, is_root, root_score)
         if self.cfg.gumbel:
             from sayuri_tpu.mcts import gumbel as G
 
-            gumbel_scores = G.root_scores(self, tree, node_idx)
+            gumbel_scores = G.root_scores(self, tree)
             # SH budget exhausted (all -inf) -> PUCT fallback
             # (ProcessGumbelLogits returning false, node.cc:1729-1731)
             g_ok = jnp.any(jnp.isfinite(gumbel_scores), axis=-1)
@@ -495,9 +538,7 @@ class MCTS:
         path0 = jnp.full((b, cfg.max_depth), -1, jnp.int32)
         done0 = tree.terminal[:, 0]
         all_root = jnp.ones((b,), bool)
-        a0 = self._select_action(
-            tree, jnp.zeros((b,), jnp.int32), all_root, root_score, sim_idx
-        )
+        a0 = self._select_action(tree, None, all_root, root_score, sim_idx)
         path = path0.at[:, 0].set(jnp.where(done0, -1, 0))
         path_a = path0.at[:, 0].set(jnp.where(done0, -1, a0))
         child0 = tree.child[b_idx, 0, a0]
@@ -728,41 +769,6 @@ class MCTS:
             stats=tree.stats.at[bb, idx_scatter].add(delta)
         )
 
-        # ---- refresh the packed edge stats for the traversed edges ----
-        # The edges touched this simulation are exactly (path, path_a);
-        # their children's just-updated node stats are gathered in one
-        # [B, D, 8] read and scattered into the packed [B, N, A, 5] rows
-        # that selection reads.
-        e_ok = (path >= 0) & active[:, None]
-        e_nodes = jnp.maximum(path, 0)
-        e_acts = jnp.maximum(path_a, 0)
-        ch_idx = tree.child[bb, e_nodes, e_acts]
-        e_ok = e_ok & (ch_idx >= 0)
-        ch = jnp.maximum(ch_idx, 0)
-        chs = tree.stats[bb, ch]                          # [B, D, 8]
-        ch_v = chs[..., 0]
-        ch_var = jnp.where(
-            ch_v > 1.0,
-            chs[..., 4] / jnp.maximum(ch_v - 1.0, 1.0),
-            1.0,
-        )
-        ch_k = jnp.clip(
-            cfg.cpuct_dynamic_k_factor
-            * jnp.sqrt(jnp.maximum(ch_var, 0.0))
-            / jnp.maximum(ch_v, 1.0),
-            0.5,
-            1.4,
-        )
-        packed = jnp.stack(
-            [ch_v, chs[..., 1], chs[..., 6], ch_k, chs[..., 7]], axis=-1
-        )
-        e_nodes_drop = jnp.where(e_ok, e_nodes, cfg.max_nodes)
-        tree = tree.replace(
-            edges=tree.edges.at[bb, e_nodes_drop, e_acts].set(
-                packed, mode="drop"
-            )
-        )
-
         # root ownership running average (node.cc:724-733)
         rv = tree.visits[:, 0].astype(jnp.float32)
         tree = tree.replace(
@@ -848,7 +854,6 @@ class MCTS:
             child=jnp.full_like(tree.child, -1).at[bb, new_id].set(
                 remap_nodes(tree.child), mode="drop"
             ),
-            edges=compact(tree.edges),
             parent=jnp.full_like(tree.parent, -1).at[bb, new_id].set(
                 remap_nodes(tree.parent), mode="drop"
             ).at[:, 0].set(-1),
@@ -923,12 +928,14 @@ class MCTS:
 
     def root_child_visits(self, tree: Tree) -> jnp.ndarray:
         """[B, A] visit counts of root children."""
-        return tree.edges[:, 0, :, 0].astype(jnp.int32)
+        g, _ = self._child_stats(tree)
+        return g[..., 0].astype(jnp.int32)
 
     def root_child_q(self, tree: Tree, color) -> jnp.ndarray:
         """[B, A] mean child values in `color` perspective; unvisited -> 0."""
-        nv = tree.edges[:, 0, :, 0]
-        wl_b = tree.edges[:, 0, :, 1] / jnp.maximum(nv, 1.0)
+        g, _ = self._child_stats(tree)
+        nv = g[..., 0]
+        wl_b = g[..., 1] / jnp.maximum(nv, 1.0)
         wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
         return jnp.where(nv > 0, wl, 0.0)
 

@@ -67,15 +67,15 @@ def sh_sequence(considered_moves: int, prom_visits: int, threshold: int):
     return seq, occ
 
 
-def _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color):
+def _child_gumbel_eval(mcts, tree, color):
     """GetGumbelEval per child: WL(color) + score utility (node.cc:1467),
-    read from the packed root edge row."""
-    edges0 = tree.edges[:, 0]                  # [B, A, 5]
-    nv = edges0[..., 0]
-    wl_b = edges0[..., 1] / jnp.maximum(nv, 1.0)
+    read from the root children's node stats (one MXU gather)."""
+    g, _ = mcts._child_stats(tree)             # [B, A, 8]
+    nv = g[..., 0]
+    wl_b = g[..., 1] / jnp.maximum(nv, 1.0)
     wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
     sign = jnp.where(color[:, None] == 0, 1.0, -1.0)
-    se = sign * edges0[..., 2]
+    se = sign * g[..., 6]
     return jnp.where(nv > 0, wl + se, 0.0), nv.astype(jnp.int32)
 
 
@@ -89,24 +89,22 @@ def _sigma(mcts, q, max_visits):
     )
 
 
-def root_scores(mcts, tree, node_idx):
+def root_scores(mcts, tree):
     """[B, A] Gumbel-SH selection scores at the root, -inf outside the
     candidate set; lanes where the SH budget is exhausted return all -inf so
     the caller falls back to PUCT (ProcessGumbelLogits returning false)."""
     cfg = mcts.cfg
-    b = node_idx.shape[0]
+    b = tree.stats.shape[0]
     b_idx = jnp.arange(b)
     A = tree.num_actions
     thres = 400
 
-    prior = tree.prior[b_idx, 0]
+    prior = tree.prior[:, 0]
     legal = prior > 0
-    child_safe = has_child = None  # packed edges supersede child gathers
-    color = tree.states.to_move[b_idx, 0]
+    color = tree.states.to_move[:, 0]
 
-    visits = jnp.where(
-        legal, tree.edges[:, 0, :, 0].astype(jnp.int32), -1
-    )
+    q, nv = _child_gumbel_eval(mcts, tree, color)
+    visits = jnp.where(legal, nv, -1)
     # visit-sorted (desc) table over legal children (node.cc:1662)
     sorted_v = -jnp.sort(-jnp.where(legal, visits, -1), axis=-1)
     max_visits = jnp.maximum(sorted_v[:, 0], 0)
@@ -120,7 +118,6 @@ def root_scores(mcts, tree, node_idx):
     t_star = jnp.argmax(cond, axis=-1)
     target = c_at_seq[b_idx, t_star]                   # [B]
 
-    q, nv = _child_gumbel_eval(mcts, tree, b_idx, child_safe, has_child, color)
     sig = jnp.where(nv > 0, _sigma(mcts, q, max_visits[:, None]), 0.0)
     logits = tree.root_gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig
 
@@ -135,11 +132,11 @@ def completed_q_policy(mcts, tree):
     b_idx = jnp.arange(b)
     A = tree.num_actions
 
-    prior = tree.prior[b_idx, 0]
+    prior = tree.prior[:, 0]
     legal = prior > 0
-    color = tree.states.to_move[b_idx, 0]
+    color = tree.states.to_move[:, 0]
 
-    q, nv = _child_gumbel_eval(mcts, tree, b_idx, None, None, color)
+    q, nv = _child_gumbel_eval(mcts, tree, color)
     cv = jnp.sum(nv, axis=-1)
     max_visits = jnp.max(nv, axis=-1)
     weighted_q = jnp.sum(jnp.where(nv > 0, prior * q, 0.0), axis=-1)
@@ -178,11 +175,11 @@ def gumbel_move(mcts, tree, allow_pass):
     A = tree.num_actions
     pass_a = A - 1
 
-    prior = tree.prior[b_idx, 0]
+    prior = tree.prior[:, 0]
     legal = prior > 0
-    color = tree.states.to_move[b_idx, 0]
+    color = tree.states.to_move[:, 0]
 
-    q, nv = _child_gumbel_eval(mcts, tree, b_idx, None, None, color)
+    q, nv = _child_gumbel_eval(mcts, tree, color)
     max_visits = jnp.max(jnp.where(legal, nv, 0), axis=-1)
     sig = jnp.where(nv > 0, _sigma(mcts, q, max_visits[:, None]), 0.0)
     logits = tree.root_gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig

@@ -154,9 +154,18 @@ class TestTreeReuse:
         old_child_visits = np.asarray(
             mcts.root_child_visits(tree)
         )[b_idx, np.asarray(best)]
-        old_edges_row = np.asarray(tree.edges)[
-            b_idx, np.maximum(old_child, 0)
-        ]
+        # child-visit totals of the reused subtree's new root, via the
+        # same child-stats view selection reads
+        old_stats = np.asarray(tree.stats)
+        old_child_arr = np.asarray(tree.child)
+        old_subroot_children = old_child_arr[b_idx, np.maximum(old_child, 0)]
+        old_subroot_child_visits = np.where(
+            old_subroot_children >= 0,
+            old_stats[
+                b_idx[:, None], np.maximum(old_subroot_children, 0), 0
+            ],
+            0.0,
+        ).sum(-1)
 
         step = jax.jit(jax.vmap(env.step))
         new_states = step(states, best)
@@ -170,11 +179,11 @@ class TestTreeReuse:
                 continue
             # the new root carries the old child's visit count
             assert int(new_tree.visits[i, 0]) == old_child_visits[i]
-            # its edge stats moved with it (child rows renumbered but visit
+            # its children moved with it (rows renumbered but visit
             # totals preserved)
             assert (
-                np.asarray(new_tree.edges[i, 0, :, 0]).sum()
-                == old_edges_row[i, :, 0].sum()
+                np.asarray(mcts.root_child_visits(new_tree))[i].sum()
+                == old_subroot_child_visits[i]
             )
             # node count shrank to the subtree
             assert int(new_tree.next_free[i]) <= int(tree.next_free[i])
