@@ -131,36 +131,46 @@ class MaskedBatchNorm(nn.Module):
             else None
         )
 
+        if not train:
+            # Inference: fold the normalization into one per-channel
+            # multiply-add in the compute dtype (the f32-cast + divide
+            # variant cost ~2 extra HBM passes per conv; the reference
+            # engine folds stddev into the weights the same way,
+            # /root/reference/src/neural/loader.cc "folded stddev").
+            scale = jax.lax.rsqrt(ra_var.value + self.eps)
+            if gamma is not None:
+                scale = scale * gamma
+            bias = beta - ra_mean.value * scale
+            out = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+            return out * mask
+
         xf = x.astype(jnp.float32)
-        if train:
-            mask_sum = jnp.sum(mask.astype(jnp.float32))
-            mean = jnp.sum(xf, axis=(0, 1, 2)) / mask_sum
-            zm = (xf - mean) * mask
-            var = jnp.sum(jnp.square(zm), axis=(0, 1, 2)) / mask_sum
+        mask_sum = jnp.sum(mask.astype(jnp.float32))
+        mean = jnp.sum(xf, axis=(0, 1, 2)) / mask_sum
+        zm = (xf - mean) * mask
+        var = jnp.sum(jnp.square(zm), axis=(0, 1, 2)) / mask_sum
 
-            std = jnp.sqrt(var + self.eps)
-            r_std = jnp.sqrt(ra_var.value + self.eps)
-            r = jnp.clip(
-                jax.lax.stop_gradient(std) / r_std, 1.0 / self.rmax, self.rmax
-            )
-            d = jnp.clip(
-                (jax.lax.stop_gradient(mean) - ra_mean.value) / r_std,
-                -self.dmax,
-                self.dmax,
-            )
-            out = (xf - mean) / std * r + d
+        std = jnp.sqrt(var + self.eps)
+        r_std = jnp.sqrt(ra_var.value + self.eps)
+        r = jnp.clip(
+            jax.lax.stop_gradient(std) / r_std, 1.0 / self.rmax, self.rmax
+        )
+        d = jnp.clip(
+            (jax.lax.stop_gradient(mean) - ra_mean.value) / r_std,
+            -self.dmax,
+            self.dmax,
+        )
+        out = (xf - mean) / std * r + d
 
-            b = x.shape[0]
-            m = self.momentum * math.sqrt(b / self.basic_batchsize)
-            if not self.is_initializing():
-                ra_mean.value = ra_mean.value + m * (
-                    jax.lax.stop_gradient(mean) - ra_mean.value
-                )
-                ra_var.value = ra_var.value + m * (
-                    jax.lax.stop_gradient(var) - ra_var.value
-                )
-        else:
-            out = (xf - ra_mean.value) / jnp.sqrt(ra_var.value + self.eps)
+        b = x.shape[0]
+        m = self.momentum * math.sqrt(b / self.basic_batchsize)
+        if not self.is_initializing():
+            ra_mean.value = ra_mean.value + m * (
+                jax.lax.stop_gradient(mean) - ra_mean.value
+            )
+            ra_var.value = ra_var.value + m * (
+                jax.lax.stop_gradient(var) - ra_var.value
+            )
 
         if gamma is not None:
             out = out * gamma

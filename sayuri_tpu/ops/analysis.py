@@ -61,40 +61,18 @@ def _nbr_min(x, n):
 
 
 def _min_prop(values, mask, n):
-    """Fixpoint: component-wise minimum of `values` over `mask` chains.
-    values: [C, nn] f32 (entries off-mask ignored); returns the component
-    minimum broadcast over each component."""
+    """Fixpoint: component-wise minimum of `values` over `mask` chains
+    (segmented run-min sweeps, ops/prop.py: O(#bends) sweeps of log-shift
+    scans instead of O(diameter) single-cell hops)."""
+    from sayuri_tpu.ops import prop as P
 
-    v0 = jnp.where(mask > 0, values, _BIG)
-
-    def body(carry):
-        v, _ = carry
-        v2 = jnp.where(
-            mask > 0, jnp.minimum(v, _nbr_min(jnp.where(mask > 0, v, _BIG), n)), _BIG
-        )
-        v3 = jnp.where(
-            mask > 0, jnp.minimum(v2, _nbr_min(jnp.where(mask > 0, v2, _BIG), n)), _BIG
-        )
-        dec = jnp.sum(jnp.where(v3 < _BIG, v3, 0.0)) < jnp.sum(
-            jnp.where(v < _BIG, v, 0.0)
-        )
-        return v3, dec
-
-    v, _ = lax.while_loop(lambda c: c[1], body, (v0, jnp.array(True)))
-    return v
+    return P.min_prop(values, mask, n)
 
 
 def _flood(seed, allowed, n):
-    m0 = seed * allowed
+    from sayuri_tpu.ops import prop as P
 
-    def body(carry):
-        m, _ = carry
-        m2 = jnp.maximum(m, _nbr_or(m, n)) * allowed
-        m2 = jnp.maximum(m2, _nbr_or(m2, n)) * allowed
-        return m2, jnp.sum(m2) > jnp.sum(m)
-
-    m, _ = lax.while_loop(lambda c: c[1], body, (m0, jnp.array(True)))
-    return m
+    return P.flood(seed, allowed, n)
 
 
 def _chain_liberty_props(color_mask, empty, n):
