@@ -60,6 +60,10 @@ class Agent:
         search_cfg: SearchConfig | None = None,
         max_nodes: int | None = None,
         seed: int = 0,
+        ponder: bool = False,
+        kldgain_per_node: float = 0.0,
+        kldgain_interval: int = 0,
+        chunk: int = 16,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -71,6 +75,12 @@ class Agent:
         )
         self._rng = jax.random.PRNGKey(seed)
         self.book = None  # optional opening book (game/book.py)
+        # host-side search control (search.cc:353-386 stop-poll loop)
+        self.ponder_enabled = ponder
+        self.kldgain_per_node = kldgain_per_node
+        self.kldgain_interval = kldgain_interval
+        self.chunk = chunk
+        self.reuse_tree = True
         self._build(boardsize, komi)
 
     # -- construction / reconstruction (Network::Reconstruct path,
@@ -93,6 +103,14 @@ class Agent:
         self.history: list[GoState] = []
         self.moves: list[tuple[int, int]] = []  # (color, vertex)
         self._jit_cache = {}
+        self._drop_tree()
+
+    def _drop_tree(self):
+        """Forget the retained search tree (ReleaseTree, search.cc)."""
+        self._tree = None
+        self._ctx = None
+        self._tree_moves = 0
+        self._last_reused = False
 
     @staticmethod
     def _single(state):
@@ -106,6 +124,7 @@ class Agent:
         )
         self.history = []
         self.moves = []
+        self._drop_tree()
 
     def set_boardsize(self, size: int):
         self._build(size, self.komi, self.rule)
@@ -115,12 +134,14 @@ class Agent:
         self.state = self.state.replace(
             komi=jnp.full_like(self.state.komi, komi)
         )
+        self._drop_tree()  # node values depend on komi
 
     def set_rule(self, rule: int):
         self.rule = rule
         self.state = self.state.replace(
             rule=jnp.full_like(self.state.rule, rule)
         )
+        self._drop_tree()
 
     def to_move(self) -> int:
         return int(self.state.to_move[0])
@@ -131,6 +152,8 @@ class Agent:
             self.state = self.state.replace(
                 to_move=jnp.full_like(self.state.to_move, color)
             )
+            # the retained tree's edges assume the natural side-to-move
+            self._drop_tree()
         self.history.append(self.state)
         step = self._get_jit("step", lambda: jax.jit(jax.vmap(self.env.step)))
         self.state = step(self.state, jnp.asarray([vertex], jnp.int32))
@@ -140,6 +163,7 @@ class Agent:
         if self.history:
             self.state = self.history.pop()
             self.moves.pop()
+            self._drop_tree()
 
     def is_legal(self, color: int, vertex: int) -> bool:
         st = self.state.replace(
@@ -160,14 +184,13 @@ class Agent:
             self._jit_cache[name] = builder()
         return self._jit_cache[name]
 
-    def _search_fn(self, playouts):
-        key = ("search", playouts)
-        if key not in self._jit_cache:
+    def _init_fn(self):
+        """jit: root ladders + fresh forest (PrepareRootNode)."""
+        if "init_tree" not in self._jit_cache:
             mcts = self.mcts
-            env = self.env
 
             @jax.jit
-            def run(states, rng, prior_mask):
+            def init(states, rng, prior_mask):
                 from sayuri_tpu.game import ladder as L
 
                 ctx = {
@@ -178,33 +201,211 @@ class Agent:
                 tree = mcts.init_tree(
                     states, rng, prior_mask=prior_mask, ctx=ctx
                 )
-                tree = mcts.run(tree, playouts, ctx=ctx)
-                return tree
+                return tree, ctx
+
+            self._jit_cache["init_tree"] = init
+        return self._jit_cache["init_tree"]
+
+    def _advance_fn(self):
+        """jit: re-root the retained tree at a played move
+        (AdvanceToNewRootState, search.cc:1345-1414)."""
+        if "advance" not in self._jit_cache:
+            mcts = self.mcts
+
+            @jax.jit
+            def advance(tree, action, new_states, rng, prior_mask):
+                from sayuri_tpu.game import ladder as L
+
+                ctx = {
+                    "ladders": jax.vmap(
+                        lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+                    )(new_states)
+                }
+                tree, reused = mcts.advance_root(
+                    tree, action, new_states, rng,
+                    prior_mask=prior_mask, ctx=ctx,
+                )
+                return tree, ctx, reused
+
+            self._jit_cache["advance"] = advance
+        return self._jit_cache["advance"]
+
+    def _chunk_fn(self, chunk):
+        key = ("chunk", chunk)
+        if key not in self._jit_cache:
+            mcts = self.mcts
+
+            @jax.jit
+            def run(tree, ctx):
+                return mcts.run(tree, chunk, ctx=ctx)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def think(self, playouts=None):
-        """Run a search from the current position; returns (tree, stats)."""
-        playouts = playouts or self.playouts
-        playouts = min(playouts, self.search_cfg.max_nodes - 8)
-        self._rng, sub = jax.random.split(self._rng)
-        superko = self._get_jit(
+    def _superko_mask(self):
+        return self._get_jit(
             "superko", lambda: jax.jit(jax.vmap(self.env.superko_action_mask))
         )(self.state)
-        t0 = time.monotonic()
-        tree = self._search_fn(playouts)(self.state, sub, ~superko)
-        jax.block_until_ready(tree.visits)
-        elapsed = time.monotonic() - t0
-        return tree, {"playouts": playouts, "time": elapsed}
 
-    def genmove(self, color: int, playouts=None, resign_threshold=0.1):
+    def _prepare_root(self, prior_mask=None):
+        """Reuse-or-rebuild the root forest for the current position
+        (PrepareRootNode, search.cc:139-181). Returns (tree, ctx).
+
+        `prior_mask` ([1, A] bool, True = keep) is ANDed with the superko
+        purge mask; move restrictions force a fresh tree (the reference
+        releases the tree when analyze avoid/allow are set, gtp.cc)."""
+        mask = np.asarray(~self._superko_mask())
+        if prior_mask is not None:
+            mask = mask & np.asarray(prior_mask)
+            self._drop_tree()
+        mask = jnp.asarray(mask)
+        self._rng, sub = jax.random.split(self._rng)
+        delta = len(self.moves) - self._tree_moves
+        if self.reuse_tree and self._tree is not None and 0 <= delta <= 2:
+            tree, ctx = self._tree, self._ctx
+            self._last_reused = delta == 0
+            for i in range(delta):
+                action = self.moves[self._tree_moves + i][1]
+                k = self._tree_moves + i + 1
+                new_state = (
+                    self.history[k] if k < len(self.history) else self.state
+                )
+                self._rng, sub_i = jax.random.split(self._rng)
+                tree, ctx, reused = self._advance_fn()(
+                    tree,
+                    jnp.asarray([action], jnp.int32),
+                    new_state,
+                    sub_i,
+                    mask,
+                )
+                self._last_reused = bool(np.asarray(reused)[0])
+        else:
+            tree, ctx = self._init_fn()(self.state, sub, mask)
+            self._last_reused = False
+        self._tree = tree
+        self._ctx = ctx
+        self._tree_moves = len(self.moves)
+        return tree, ctx
+
+    def think(
+        self,
+        playouts=None,
+        time_budget=None,
+        analyze_cb=None,
+        analyze_interval=0.0,
+        prior_mask=None,
+        stop_check=None,
+    ):
+        """Search the current position with the reference's stop conditions
+        (Computation's main-thread poll, search.cc:353-386): playout cap,
+        wall-clock budget, KLD-gain plateau (search.cc:1524-1549), and
+        only-one-legal-move. The search runs in jitted chunks with host
+        polls between chunks. Returns (tree, stats)."""
+        playouts = playouts or self.playouts
+        t0 = time.monotonic()
+        tree, ctx = self._prepare_root(prior_mask)
+        start_visits = int(np.asarray(tree.visits[0, 0]))
+
+        # only-one-move early exit (HaveAlternateMoves, search.cc:1416-1443)
+        legal_count = int(np.asarray((tree.prior[0, 0] > 0).sum()))
+        only_one = legal_count <= 1
+
+        chunk = max(1, min(self.chunk, playouts))
+        run = self._chunk_fn(chunk)
+        done = 0
+        prev_kld_visits = start_visits
+        prev_kld_policy = None
+        next_analyze = (
+            t0 + analyze_interval if analyze_cb and analyze_interval else None
+        )
+        stopped_by = "cap"
+        while done < playouts:
+            if only_one and done > 0:
+                stopped_by = "only_move"
+                break
+            if stop_check is not None and stop_check():
+                stopped_by = "input"
+                break
+            if time_budget is not None and (
+                time.monotonic() - t0 >= time_budget
+            ):
+                stopped_by = "time"
+                break
+            # tree full: visits can still accumulate but no new nodes --
+            # stop instead of spinning (the reference tree is unbounded)
+            if int(np.asarray(tree.next_free[0])) >= self.search_cfg.max_nodes:
+                stopped_by = "tree_full"
+                break
+            tree = run(tree, ctx)
+            done += chunk
+            self._tree = tree
+
+            if next_analyze is not None and time.monotonic() >= next_analyze:
+                analyze_cb(tree)
+                next_analyze = time.monotonic() + analyze_interval
+
+            # KLD-gain stop (StoppedByKldGain, search.cc:1524-1549); the
+            # stop statistic uses the root visit distribution (the
+            # reference uses the assembled target policy -- equivalent for
+            # stopping purposes at these intervals)
+            if self.kldgain_per_node > 0 and self.kldgain_interval > 0:
+                visits_now = int(np.asarray(tree.visits[0, 0]))
+                vdiff = visits_now - prev_kld_visits
+                if vdiff >= self.kldgain_interval:
+                    dist = np.asarray(
+                        self.mcts.root_child_visits(tree), np.float64
+                    )[0]
+                    dist = np.maximum(dist / max(dist.sum(), 1.0), 1e-8)
+                    if prev_kld_policy is not None:
+                        kld = float(
+                            np.sum(dist * np.log(dist / prev_kld_policy))
+                        )
+                        if kld / vdiff < self.kldgain_per_node:
+                            prev_kld_visits = visits_now
+                            prev_kld_policy = dist
+                            stopped_by = "kldgain"
+                            break
+                    prev_kld_visits = visits_now
+                    prev_kld_policy = dist
+
+        jax.block_until_ready(tree.stats)
+        elapsed = time.monotonic() - t0
+        self._tree = tree
+        return tree, {
+            "playouts": done,
+            "visits": int(np.asarray(tree.visits[0, 0])),
+            "time": elapsed,
+            "stopped_by": stopped_by,
+            "reused": self._last_reused,
+        }
+
+    def ponder(self, stop_check, max_playouts=None):
+        """Search the opponent's position on their time (TryPonder,
+        search.cc:1071-1091); `stop_check()` -> True aborts (the
+        reference's InputPending poll). The grown tree is retained for
+        reuse by the next think()."""
+        if not self.ponder_enabled:
+            return None
+        max_playouts = max_playouts or 10 * self.playouts
+        tree, stats = self.think(playouts=max_playouts, stop_check=stop_check)
+        return stats
+
+    def genmove(
+        self,
+        color: int,
+        playouts=None,
+        resign_threshold=0.1,
+        time_budget=None,
+        analyze_cb=None,
+        analyze_interval=0.0,
+    ):
         """Search and play the best move (ThinkBestMove, search.cc:864).
         An opening-book hit short-circuits the search (search.cc:295-300)."""
         if int(self.state.to_move[0]) != color:
             self.state = self.state.replace(
                 to_move=jnp.full_like(self.state.to_move, color)
             )
+            self._drop_tree()
         book = getattr(self, "book", None)
         if book is not None:
             single = jax.tree.map(lambda x: x[0], self.state)
@@ -218,7 +419,12 @@ class Agent:
             if mv is not None:
                 self.play(color, mv)
                 return mv, None
-        tree, _ = self.think(playouts)
+        tree, _ = self.think(
+            playouts,
+            time_budget=time_budget,
+            analyze_cb=analyze_cb,
+            analyze_interval=analyze_interval,
+        )
         best = int(np.asarray(self.mcts.best_move(tree))[0])
         root_v = np.asarray(tree.visits[:, 0])[0]
         wl_black = float(np.asarray(tree.acc_wl[:, 0])[0]) / max(root_v, 1)
@@ -229,28 +435,98 @@ class Agent:
         return best, tree
 
     def analysis_data(self, tree, max_moves=10):
-        """Per-move stats rows for analyze commands (node.cc:982-1088)."""
-        visits = np.asarray(self.mcts.root_child_visits(tree))[0]
-        color = self.state.to_move
-        q = np.asarray(self.mcts.root_child_q(tree, color))[0]
-        prior = np.asarray(tree.prior[0, 0])
-        order = np.argsort(-visits)
+        """Per-move stats rows for analyze commands, ranked by the
+        reference's LCB utility (GetSortedLcbUtilityList + ToAnalysisString,
+        node.cc:982-1088). Each row carries visits/winrate/drawrate/
+        scorelead/prior/lcb/pv; the PV walks best-LCB children
+        (GetPvString, node.cc:1092-1107)."""
+        from sayuri_tpu.mcts.core import _LCB_Z_TABLE
+
+        child = np.asarray(tree.child[0])    # [N, A]
+        stats = np.asarray(tree.stats[0])    # [N, 8]
+        prior = np.asarray(tree.prior[0])    # [N, A]
+        red = float(np.clip(self.search_cfg.lcb_reduction, 0.0, 1.0))
+
+        def child_rows(node, color):
+            """(action, child_idx, visits, rlcb, winrate, draw, score, p)"""
+            ch = child[node]
+            acts = np.nonzero(ch >= 0)[0]
+            rows = []
+            cv = 0.0
+            for a in acts:
+                cv += stats[ch[a], 0]
+            cv = max(cv, 1.0)
+            sign = 1.0 if color == 0 else -1.0
+            for a in acts:
+                c = ch[a]
+                v = stats[c, 0]
+                if v <= 0:
+                    continue
+                wl_b = stats[c, 1] / v
+                mean = wl_b if color == 0 else 1.0 - wl_b
+                draw = stats[c, 2] / v
+                score = sign * stats[c, 3] / v
+                if v <= 1:
+                    rlcb = prior[node, a] - 1e6
+                else:
+                    var = max(stats[c, 4] / (v - 1.0), 0.0)
+                    z = _LCB_Z_TABLE[
+                        min(max(int(v) - 2, 0), len(_LCB_Z_TABLE) - 1)
+                    ]
+                    lcb = mean - z * np.sqrt(var) / v
+                    mixed = lcb + sign * stats[c, 6]
+                    rlcb = mixed * (1.0 - red) + red * v / cv
+                rows.append(
+                    (int(a), int(c), int(v), float(rlcb), float(mean),
+                     float(draw), float(score), float(prior[node, a]))
+                )
+            rows.sort(key=lambda r: -r[3])
+            return rows
+
+        def pv_from(node, color, first_action, depth=12):
+            pv = [first_action]
+            cur, col = node, 1 - color
+            for _ in range(depth):
+                rows = child_rows(cur, col)
+                if not rows:
+                    break
+                a, c = rows[0][0], rows[0][1]
+                pv.append(a)
+                cur, col = c, 1 - col
+            return pv
+
+        color = int(self.state.to_move[0])
         rows = []
-        total = max(visits.sum(), 1)
-        for a in order[:max_moves]:
-            if visits[a] <= 0:
-                continue
+        for a, c, v, rlcb, wl, draw, score, p in child_rows(0, color)[
+            :max_moves
+        ]:
             rows.append(
                 dict(
                     move=int(a),
-                    visits=int(visits[a]),
-                    winrate=float(q[a]),
-                    prior=float(prior[a]),
-                    lcb=float(q[a]),
+                    visits=v,
+                    winrate=wl,
+                    drawrate=draw,
+                    scorelead=score,
+                    prior=p,
+                    lcb=max(rlcb, 0.0),
                     order=len(rows),
+                    pv=pv_from(c, color, a),
                 )
             )
         return rows
+
+    def root_info(self, tree):
+        """Root summary for the sayuri analyze header (node.cc:1002-1010)."""
+        v = max(int(np.asarray(tree.visits[0, 0])), 1)
+        color = int(self.state.to_move[0])
+        wl_b = float(np.asarray(tree.acc_wl[0, 0])) / v
+        score_b = float(np.asarray(tree.acc_score[0, 0])) / v
+        return dict(
+            visits=v,
+            winrate=wl_b if color == 0 else 1.0 - wl_b,
+            drawrate=float(np.asarray(tree.acc_draw[0, 0])) / v,
+            scorelead=score_b if color == 0 else -score_b,
+        )
 
     def ownership(self) -> np.ndarray:
         own = self._get_jit(

@@ -98,7 +98,37 @@ class GtpLoop:
             return False, str(e)
 
     def run(self, instream=sys.stdin, outstream=sys.stdout):
-        for line in instream:
+        """Main loop. Analysis commands stream info lines until the next
+        command arrives (gtp.cc:1166-1214 semantics); with pondering on,
+        the engine searches the opponent's time between commands
+        (TryPonder, search.cc:1071-1091). A reader thread feeds a queue so
+        InputPending is a queue peek."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue()
+
+        def reader():
+            for line in instream:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=reader, daemon=True).start()
+        self._inq = q
+        can_ponder = False
+        while self.running:
+            if (
+                can_ponder
+                and self.agent.ponder_enabled
+                and q.empty()
+                and self.agent.moves
+            ):
+                # one ponder session per idle period
+                self.agent.ponder(stop_check=lambda: not q.empty())
+                can_ponder = False
+            line = q.get()
+            if line is None:
+                break
             stripped = line.split("#", 1)[0].strip()
             parts = stripped.split()
             cmd_id = parts[0] if parts and parts[0].isdigit() else ""
@@ -106,8 +136,21 @@ class GtpLoop:
             if not stripped:
                 continue
             prefix = ("=" if ok else "?") + cmd_id
-            outstream.write(f"{prefix} {body}\n\n")
-            outstream.flush()
+            if isinstance(body, StreamBody):
+                outstream.write(f"{prefix}\n")
+                outstream.flush()
+
+                def emit(text):
+                    outstream.write(text)
+                    outstream.flush()
+
+                body.run(emit, lambda: not q.empty())
+                outstream.write("\n")
+                outstream.flush()
+            else:
+                outstream.write(f"{prefix} {body}\n\n")
+                outstream.flush()
+            can_ponder = True
             if not self.running:
                 break
 
@@ -186,13 +229,27 @@ class GtpLoop:
         self.agent.play(color, v)
         return True, ""
 
+    def _genmove_budget(self, color):
+        """Per-move wall-clock budget from the clock state
+        (Search::ThinkBestMove + GetThinkingTime, search.cc:438-455)."""
+        budget = self.time.thinking_time(
+            color, self.agent.size, len(self.agent.moves)
+        )
+        return None if budget == float("inf") else budget
+
     def _cmd_genmove(self, args):
         color = (
             _color_arg(args[0]) if args else self.agent.to_move()
         )
         if color is None:
             return False, "invalid color"
-        move, _ = self.agent.genmove(color)
+        import time as _t
+
+        t0 = _t.monotonic()
+        move, _ = self.agent.genmove(
+            color, time_budget=self._genmove_budget(color)
+        )
+        self.time.consume(color, _t.monotonic() - t0)
         if move == "resign":
             return True, "resign"
         return True, vertex_to_gtp(
@@ -378,12 +435,36 @@ class GtpLoop:
             value = kv.split("value", 1)[1].strip()
         except IndexError:
             return False, "syntax: sayuri-setoption name <n> value <v>"
+        low = value.lower()
         if name == "playouts":
-            self.agent.playouts = int(value)
+            self.agent.playouts = max(0, int(value))
+        elif name == "reuse tree":
+            if low not in ("true", "false"):
+                return False, "invalid value"
+            self.agent.reuse_tree = low == "true"
+        elif name == "pondering":
+            if low not in ("true", "false"):
+                return False, "invalid value"
+            self.agent.ponder_enabled = low == "true"
         elif name == "resign threshold":
-            pass
+            self.resign_threshold = min(1.0, max(0.0, float(value)))
+        elif name == "scoring rule":
+            if low == "territory":
+                self.agent.set_rule(TERRITORY_RULE)
+            elif low == "area":
+                self.agent.set_rule(AREA_RULE)
+            else:
+                return False, "invalid rule"
+        elif name == "threads":
+            pass  # no-op: the array search has no worker threads
+        elif name == "batch size":
+            pass  # no-op: leaf batch = game batch under jit
+        elif name == "kldgain per node":
+            self.agent.kldgain_per_node = float(value)
+        elif name == "kldgain interval":
+            self.agent.kldgain_interval = int(value)
         else:
-            return False, f"unsupported option {name}"
+            return False, "invalid option name"
         return True, ""
 
     # -- gogui extensions (gtp.cc:767-1161 family) ---------------------
@@ -516,70 +597,258 @@ class GtpLoop:
                      f"({stats['playouts'] / dt:.1f} p/s)"
 
     # -- analysis ------------------------------------------------------
+    # lz-/kata-/sayuri-analyze family with interval streaming and
+    # avoid/allow move restrictions (gtp.cc:1166-1390, node.cc:982-1088).
 
-    def _analyze_body(self, fmt="lz"):
-        tree, _ = self.agent.think()
-        rows = self.agent.analysis_data(tree)
+    def _parse_analyze_config(self, cmd, args):
+        """Parse analyze options (GtpLoop::ParseAnalysisConfig,
+        gtp.cc:1216-1380): [color] [interval-cs] interval N, minmoves N,
+        maxmoves N, avoid/allow C vlist untilmove, ownership true."""
+        cfg = dict(
+            fmt=(
+                "sayuri"
+                if cmd.startswith("sayuri")
+                else "kata" if cmd.startswith("kata") else "lz"
+            ),
+            color=None,
+            interval_cs=0,
+            max_moves=20,
+            min_moves=0,
+            ownership=False,
+            moves_ownership=False,
+            avoid=[],   # (color, vertex, until_move)
+            allow=[],
+        )
+        i = 0
+        while i < len(args):
+            tok = args[i].lower()
+            i += 1
+            if tok.isdigit():
+                cfg["interval_cs"] = int(tok)
+            elif tok in ("b", "black", "w", "white"):
+                cfg["color"] = _color_arg(tok)
+            elif tok == "interval" and i < len(args) and args[i].isdigit():
+                cfg["interval_cs"] = int(args[i]); i += 1
+            elif tok in ("minmoves", "maxmoves") and i < len(args) and \
+                    args[i].isdigit():
+                cfg["min_moves" if tok == "minmoves" else "max_moves"] = \
+                    int(args[i]); i += 1
+            elif tok == "ownership" and i < len(args):
+                cfg["ownership"] = args[i].lower() == "true"; i += 1
+            elif tok == "movesownership" and i < len(args):
+                cfg["moves_ownership"] = args[i].lower() == "true"; i += 1
+            elif tok in ("avoid", "allow"):
+                mcolor, moves, until = None, [], -1
+                if i < len(args):
+                    mcolor = _color_arg(args[i]); i += 1
+                if i < len(args):
+                    for text in args[i].split(","):
+                        try:
+                            moves.append(
+                                gtp_to_vertex(text, self.agent.size)
+                            )
+                        except (ValueError, IndexError):
+                            pass
+                    i += 1
+                if i < len(args) and args[i].isdigit():
+                    until = int(args[i]); i += 1
+                if mcolor is not None and until >= 0:
+                    until_abs = until + len(self.agent.moves) - 1
+                    cfg[tok].extend(
+                        (mcolor, v, until_abs)
+                        for v in moves
+                        if v != "resign"
+                    )
+            elif tok == "reuse" and i < len(args):
+                self.agent.reuse_tree = args[i].lower() == "true"; i += 1
+        return cfg
+
+    def _analyze_prior_mask(self, cfg):
+        """Root move restrictions -> [1, A] keep-mask (the reference
+        applies avoid/allow per color up to until_move through the tree,
+        node.cc; here they gate the root, where they bind the search)."""
+        if not cfg["avoid"] and not cfg["allow"]:
+            return None
+        A = self.agent.env.num_actions
+        move_num = len(self.agent.moves)
+        to_move = self.agent.to_move()
+        mask = np.ones((1, A), bool)
+        allows = [
+            v for c, v, until in cfg["allow"]
+            if c == to_move and move_num <= until
+        ]
+        if allows:
+            mask[:] = False
+            for v in allows:
+                mask[0, v] = True
+        for c, v, until in cfg["avoid"]:
+            if c == to_move and move_num <= until:
+                mask[0, v] = False
+        return mask
+
+    def _format_analysis(self, tree, cfg):
+        """One analysis emission (Node::ToAnalysisString formats,
+        node.cc:995-1088)."""
+        rows = self.agent.analysis_data(tree, max_moves=cfg["max_moves"])
+        size = self.agent.size
         out = []
+        fmt = cfg["fmt"]
+
+        def own_str(tag):
+            own = np.asarray(tree.root_ownership)[0]
+            if self.agent.to_move() == 1:
+                own = -own
+            vals = []
+            for y in range(size - 1, -1, -1):
+                for x in range(size):
+                    vals.append(f"{own[y * size + x]:.6f}")
+            return f"{tag} " + " ".join(vals)
+
+        if fmt == "sayuri":
+            root = self.agent.root_info(tree)
+            head = (
+                f"info move null visits {root['visits']} "
+                f"winrate {root['winrate']:.6f} "
+                f"drawrate {root['drawrate']:.6f} "
+                f"scorelead {root['scorelead']:.6f} "
+            )
+            if cfg["ownership"]:
+                head += own_str("ownership") + " "
+            out.append(head.rstrip())
         for r in rows:
             mv = vertex_to_gtp(
-                r["move"] if r["move"] < self.agent.size**2 else None,
-                self.agent.size,
+                r["move"] if r["move"] < size**2 else None, size
             )
-            if fmt == "kata":
+            pv = " ".join(
+                vertex_to_gtp(v if v < size**2 else None, size)
+                for v in r["pv"]
+            )
+            if fmt == "sayuri":
                 out.append(
                     f"info move {mv} visits {r['visits']} "
-                    f"winrate {r['winrate']:.6f} prior {r['prior']:.6f} "
-                    f"order {r['order']}"
+                    f"winrate {r['winrate']:.6f} "
+                    f"drawrate {r['drawrate']:.6f} "
+                    f"scorelead {r['scorelead']:.6f} "
+                    f"prior {r['prior']:.6f} "
+                    f"lcb {min(1.0, r['lcb']):.6f} "
+                    f"order {r['order']} pv {pv}"
+                )
+            elif fmt == "kata":
+                out.append(
+                    f"info move {mv} visits {r['visits']} "
+                    f"winrate {r['winrate']:.6f} "
+                    f"scoreLead {r['scorelead']:.6f} "
+                    f"prior {r['prior']:.6f} "
+                    f"lcb {min(1.0, r['lcb']):.6f} "
+                    f"order {r['order']} pv {pv}"
                 )
             else:
                 out.append(
                     f"info move {mv} visits {r['visits']} "
-                    f"winrate {int(r['winrate'] * 10000)} "
-                    f"prior {int(r['prior'] * 10000)} lcb "
-                    f"{int(r['lcb'] * 10000)} order {r['order']}"
+                    f"winrate {min(10000, int(10000 * r['winrate']))} "
+                    f"scoreLead {r['scorelead']:.6f} "
+                    f"prior {min(10000, int(10000 * r['prior']))} "
+                    f"lcb {min(10000, int(10000 * r['lcb']))} "
+                    f"order {r['order']} pv {pv}"
                 )
+        if cfg["ownership"] and fmt != "sayuri":
+            out.append(own_str("ownership"))
         return " ".join(out)
+
+    def _analyze_stream(self, cmd, args, genmove):
+        cfg = self._parse_analyze_config(cmd, args)
+        color = (
+            cfg["color"]
+            if cfg["color"] is not None
+            else self.agent.to_move()
+        )
+        prior_mask = self._analyze_prior_mask(cfg)
+        interval_s = cfg["interval_cs"] / 100.0
+        loop = self
+
+        class _Body(StreamBody):
+            def run(self, emit, input_pending):
+                agent = loop.agent
+
+                def cb(tree):
+                    emit(loop._format_analysis(tree, cfg) + "\n")
+
+                if genmove:
+                    import time as _t
+
+                    t0 = _t.monotonic()
+                    move, tree = agent.genmove(
+                        color,
+                        time_budget=loop._genmove_budget(color),
+                        analyze_cb=cb if interval_s > 0 else None,
+                        analyze_interval=interval_s,
+                    )
+                    loop.time.consume(color, _t.monotonic() - t0)
+                    if tree is not None:
+                        cb(tree)
+                    mv = (
+                        "resign"
+                        if move == "resign"
+                        else vertex_to_gtp(
+                            move if move < agent.size**2 else None,
+                            agent.size,
+                        )
+                    )
+                    emit(f"play {mv}\n")
+                else:
+                    tree, _ = agent.think(
+                        playouts=(
+                            agent.playouts if self.bounded else 10**9
+                        ),
+                        analyze_cb=cb if interval_s > 0 else None,
+                        analyze_interval=interval_s,
+                        prior_mask=prior_mask,
+                        stop_check=input_pending,
+                    )
+                    cb(tree)
+
+        return _Body()
 
     def _cmd_lz_analyze(self, args):
-        return True, self._analyze_body("lz")
+        return True, self._analyze_stream("lz-analyze", args, False)
 
     def _cmd_kata_analyze(self, args):
-        return True, self._analyze_body("kata")
+        return True, self._analyze_stream("kata-analyze", args, False)
 
     def _cmd_sayuri_analyze(self, args):
-        return True, self._analyze_body("kata")
+        return True, self._analyze_stream("sayuri-analyze", args, False)
 
     def _cmd_lz_genmove_analyze(self, args):
-        color = _color_arg(args[0]) if args else self.agent.to_move()
-        move, tree = self.agent.genmove(color)
-        body = self._fmt_rows(tree, "lz") if tree is not None else ""
+        return True, self._analyze_stream("lz-genmove_analyze", args, True)
 
-        mv = (
-            "resign"
-            if move == "resign"
-            else vertex_to_gtp(
-                move if move < self.agent.size**2 else None, self.agent.size
-            )
+    def _cmd_kata_genmove_analyze(self, args):
+        return True, self._analyze_stream(
+            "kata-genmove_analyze", args, True
         )
-        return True, f"{body}\nplay {mv}"
 
-    _cmd_kata_genmove_analyze = _cmd_lz_genmove_analyze
-    _cmd_sayuri_genmove_analyze = _cmd_lz_genmove_analyze
+    def _cmd_sayuri_genmove_analyze(self, args):
+        return True, self._analyze_stream(
+            "sayuri-genmove_analyze", args, True
+        )
 
-    def _fmt_rows(self, tree, fmt):
-        rows = self.agent.analysis_data(tree)
+
+class StreamBody:
+    """Marker type: a GTP response that streams lines itself.
+    `run(emit, input_pending)` writes info lines until done or until
+    `input_pending()` turns True. `collect()` runs one bounded search
+    synchronously and returns the emitted text (used by `execute()`
+    callers that want a plain response, e.g. tests)."""
+
+    bounded = False
+
+    def run(self, emit, input_pending):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def collect(self) -> str:
+        self.bounded = True
         out = []
-        for r in rows:
-            mv = vertex_to_gtp(
-                r["move"] if r["move"] < self.agent.size**2 else None,
-                self.agent.size,
-            )
-            out.append(
-                f"info move {mv} visits {r['visits']} winrate "
-                f"{int(r['winrate'] * 10000)} order {r['order']}"
-            )
-        return " ".join(out)
+        self.run(out.append, lambda: False)
+        return "".join(out).rstrip("\n")
 
 
 def COLS_FOR(size):

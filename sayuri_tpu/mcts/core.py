@@ -185,6 +185,55 @@ _GH_X, _GH_W = np.polynomial.hermite_e.hermegauss(11)
 _GH_W = _GH_W / _GH_W.sum()
 
 
+def _norm_to_t_approx(z, dof):
+    """Normal quantile -> Student-t quantile approximation
+    (lcb.h:36-45, KataGo fancymath)."""
+    dof = np.asarray(dof, np.float64)
+    n_hi = np.maximum(dof + 1.0, 2.0)  # clamp: branch only used for dof > 8
+    n_lo = dof + 2.0
+    hi = np.sqrt(
+        n_hi * np.exp(z * z * (n_hi - 1.5) / ((n_hi - 1.0) * (n_hi - 1.0)))
+        - n_hi
+    )
+    lo = np.sqrt(
+        n_lo
+        * np.exp(
+            z
+            * z
+            * (n_lo - 0.853999327911)
+            / ((n_lo - 1.044042304114) * (n_lo - 0.954115472059))
+        )
+        - n_lo
+    )
+    return np.where(dof > 8, hi, lo)
+
+
+def _make_lcb_z_table(ci_alpha=1e-5, size=1000):
+    """Cached t-quantile table (LcbEntries::Initialize, lcb.h:47-87):
+    entry i = NormToTApprox(Phi^-1(1 - ci_alpha), dof=i)."""
+    from scipy.stats import norm  # available via jax deps
+
+    z = float(norm.ppf(1.0 - ci_alpha))
+    return _norm_to_t_approx(z, np.arange(size)).astype(np.float32)
+
+
+try:
+    _LCB_Z_TABLE = _make_lcb_z_table()
+except Exception:  # no scipy: inline Acklam-style inverse-normal
+    def _phi_inv(p):
+        # Abramowitz & Stegun 26.2.23 (lcb.h:9-33)
+        t = np.sqrt(-2.0 * np.log(1.0 - p))
+        c = (2.515517, 0.802853, 0.010328)
+        d = (1.432788, 0.189269, 0.001308)
+        return t - ((c[2] * t + c[1]) * t + c[0]) / (
+            ((d[2] * t + d[1]) * t + d[0]) * t + 1.0
+        )
+
+    _LCB_Z_TABLE = _norm_to_t_approx(
+        _phi_inv(1.0 - 1e-5), np.arange(1000)
+    ).astype(np.float32)
+
+
 def expected_score_value(mean, stddev, center, div, board_size):
     """E[atan((s - center)/(div*bsize))*2/pi], s ~ N(mean, stddev)
     (ScoreValue::ExpectedScoreValue semantics, score_value.h:40-134)."""
@@ -939,53 +988,63 @@ class MCTS:
         wl = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
         return jnp.where(nv > 0, wl, 0.0)
 
-    def best_move(self, tree: Tree, allow_pass=None) -> jnp.ndarray:
-        """LCB-adjusted best move (GetBestMove + LCB, node.cc:792-811,
-        1145-1216): among root children, rank by visit count, break ties /
-        adjust with a lower-confidence bound on the value. `allow_pass`
-        ([B] bool) masks the pass move when the self-play forbid-pass rule
-        fires (search.cc:870-946)."""
+    def root_lcb_scores(self, tree: Tree) -> jnp.ndarray:
+        """[B, A] reference LCB utility per root child
+        (GetSortedLcbUtilityList, node.cc): for each visited child
+
+            lcb   = mean - z * stddev / visits       (GetLcb, node.cc:792-811)
+            z     = cached t-quantile at dof = visits - 2 (lcb.h:47-87,
+                    complement probability ci_alpha = 1e-5, config.cc:63,140)
+            mixed = lcb + score_eval(color)
+            rlcb  = mixed*(1 - lcb_reduction) + lcb_reduction*visits/cv
+
+        Children with visits <= 1 get prior - 1e6 (GetLcb's sentinel);
+        unvisited children get -inf."""
         cfg = self.cfg
+        g, _ = self._child_stats(tree)
+        nv = g[..., 0]
+        visits = nv.astype(jnp.int32)
+        color = tree.states.to_move[:, 0]
+        wl_b = g[..., 1] / jnp.maximum(nv, 1.0)
+        mean = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
+        var = jnp.where(visits > 1, g[..., 4] / jnp.maximum(nv - 1.0, 1.0), 1.0)
+        stddev = jnp.sqrt(jnp.maximum(var, 0.0))
+        z_tab = jnp.asarray(_LCB_Z_TABLE)
+        z = z_tab[jnp.clip(visits - 2, 0, z_tab.shape[0] - 1)]
+        lcb = mean - z * stddev / jnp.maximum(nv, 1.0)
+        sign = jnp.where(color == 0, 1.0, -1.0)[:, None]
+        mixed = lcb + sign * g[..., 6]
+        cv = jnp.maximum(jnp.sum(nv, axis=-1, keepdims=True), 1.0)
+        red = float(np.clip(cfg.lcb_reduction, 0.0, 1.0))
+        rlcb = mixed * (1.0 - red) + red * (nv / cv)
+        prior = tree.prior[:, 0]
+        rlcb = jnp.where(visits <= 1, prior - 1e6, rlcb)
+        return jnp.where(visits > 0, rlcb, -jnp.inf)
+
+    def best_move(self, tree: Tree, allow_pass=None) -> jnp.ndarray:
+        """Reference best-move selection (GetBestMove, node.cc): argmax of
+        the LCB utility list over visited children; when nothing is visited,
+        fall back to the raw prior (ProbSelectChild). `allow_pass` ([B] bool)
+        masks the pass move when the self-play forbid-pass rule fires
+        (search.cc:870-946)."""
         visits = self.root_child_visits(tree)
+        score = self.root_lcb_scores(tree)
+        pass_a = tree.num_actions - 1
         if allow_pass is not None:
-            pass_a = tree.num_actions - 1
             # keep pass only if it is the sole visited move
             others = visits.at[:, pass_a].set(0)
             has_other = jnp.any(others > 0, axis=-1)
             kill = ~allow_pass & has_other
+            score = score.at[:, pass_a].set(
+                jnp.where(kill, -jnp.inf, score[:, pass_a])
+            )
             visits = visits.at[:, pass_a].set(
                 jnp.where(kill, 0, visits[:, pass_a])
             )
-        color = tree.states.to_move[:, 0]
-        q = self.root_child_q(tree, color)
-
-        b = tree.visits.shape[0]
-        b_idx = jnp.arange(b)[:, None]
-        child = tree.child[:, 0]
-        safe = jnp.maximum(child, 0)
-        var = jnp.where(
-            visits > 1,
-            tree.sq_eval_diff[b_idx, safe] / jnp.maximum(visits - 1, 1),
-            1.0,
-        )
-        stddev = jnp.sqrt(jnp.maximum(var, 0.0) / jnp.maximum(visits, 1))
-        z = 1.96  # ~t-quantile tail used by the reference's cached table
-        lcb = q - z * stddev
-        # mix: full visits dominate, LCB refines (lcb_reduction=0.02)
-        max_v = jnp.maximum(jnp.max(visits, axis=-1, keepdims=True), 1)
-        score = jnp.where(
-            visits > 0,
-            lcb + (1.0 - cfg.lcb_reduction) * 0.0
-            + visits.astype(jnp.float32) / max_v * cfg.lcb_reduction,
-            -jnp.inf,
-        )
-        # require some visits: fall back to max visits when too shallow
-        visited_enough = jnp.sum(visits > 0, axis=-1, keepdims=True) > 0
+        any_visited = jnp.any(visits > 0, axis=-1)
         best_lcb = jnp.argmax(score, axis=-1)
-        best_visits = jnp.argmax(visits, axis=-1)
-        return jnp.where(
-            visited_enough[:, 0], best_lcb, best_visits
-        ).astype(jnp.int32)
+        best_prior = jnp.argmax(tree.prior[:, 0], axis=-1)
+        return jnp.where(any_visited, best_lcb, best_prior).astype(jnp.int32)
 
 
 def _bcast(flag, like):
