@@ -89,9 +89,9 @@ def run_benchmark(opts: Options):
             from sayuri_tpu.game import ladder as L
 
             ctx = {
-                "ladders": jax.vmap(
-                    lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-                )(states)
+                "ladders": L.ladder_planes_batch(
+                    states.stones, states.size, states.ko
+                )
             }
             tree = mcts.init_tree(states, rng, ctx=ctx)
             return mcts.run(tree, playouts, ctx=ctx).visits[:, 0]

@@ -360,3 +360,188 @@ def ladder_planes(stones, size, ko=None):
         axis=-1,
     )
     return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# batched front-end: Pallas chase kernel on TPU, vmapped rollout elsewhere
+# ---------------------------------------------------------------------------
+
+def _chain_lib_vertices(labels, empty, n):
+    """Per-chain-root first and second liberty vertices ([nn] int32 each,
+    nn where absent), via scatter-min of liberty indices into roots."""
+    nn = n * n
+    flat = B.flat_iota(n)
+    nbr_lbl = B._neighbor_labels(labels)
+    nbr_lbl = jnp.where(empty[None], nbr_lbl, -1)
+    idx4 = jnp.broadcast_to(flat.reshape(-1), (4, nn))
+    tgt = jnp.where(
+        nbr_lbl.reshape(4, -1) >= 0, nbr_lbl.reshape(4, -1), nn
+    )
+    lib1 = (
+        jnp.full((nn + 1,), nn, jnp.int32)
+        .at[tgt.reshape(-1)]
+        .min(idx4.reshape(-1), mode="drop")[: nn + 1]
+    )
+    is_first = idx4 == lib1[jnp.clip(tgt, 0, nn)]
+    tgt2 = jnp.where(is_first, nn, tgt)
+    lib2 = (
+        jnp.full((nn + 1,), nn, jnp.int32)
+        .at[tgt2.reshape(-1)]
+        .min(idx4.reshape(-1), mode="drop")[:nn]
+    )
+    return lib1[:nn], lib2
+
+
+def _prep_candidates(stones, size, ko):
+    """Single-board candidate prep for the chase kernel: roots, libs,
+    first-two liberty vertices, hunter-move legality. All label-map based
+    (no per-candidate floods)."""
+    n = stones.shape[-1]
+    nn = n * n
+    mask = B.board_mask(size, n)
+    empty = (stones == EMPTY) & mask
+    own_b = (stones == 1) & mask
+    own_w = (stones == 2) & mask
+    lbl_b = B.chain_labels(own_b)
+    lbl_w = B.chain_labels(own_w)
+    labels = jnp.where(lbl_b >= 0, lbl_b, lbl_w)
+    libs_map = B.chain_liberty_map(own_b, lbl_b, empty) + B.chain_liberty_map(
+        own_w, lbl_w, empty
+    )
+    flat = B.flat_iota(n)
+    is_root = (labels == flat) & (labels >= 0)
+    root_libs = jnp.where(is_root, libs_map, 0)
+    cand = is_root & ((root_libs == 1) | (root_libs == 2))
+    order = jnp.argsort(
+        jnp.where(cand.reshape(-1), flat.reshape(-1), nn)
+    )[:MAX_CHAINS]
+    cand_v = jnp.where(cand.reshape(-1)[order], order, -1)   # [M]
+
+    lib1, lib2 = _chain_lib_vertices(labels, empty, n)
+    root_safe = jnp.maximum(cand_v, 0)
+    l1 = lib1[root_safe]
+    l2 = lib2[root_safe]
+    nlibs = root_libs.reshape(-1)[root_safe]
+    color = jnp.where(stones.reshape(-1)[root_safe] == 1, 0, 1)
+
+    def legal_at(v, c):
+        return _single_vertex_legal(
+            stones, mask, empty, libs_map, jnp.minimum(v, nn - 1), c, ko
+        ) & (v < nn)
+
+    legal_a = jax.vmap(legal_at)(l1, 1 - color)
+    legal_b = jax.vmap(legal_at)(l2, 1 - color)
+    return dict(
+        labels=labels,
+        cand_v=cand_v,
+        l1=l1,
+        l2=l2,
+        nlibs=nlibs,
+        color=color,
+        legal_a=legal_a,
+        legal_b=legal_b,
+    )
+
+
+def ladder_planes_batch(stones, size, ko=None, use_kernel=None):
+    """[B, n, n, 4] ladder planes for a batch of boards.
+
+    On TPU the greedy chases run inside the Pallas ladder kernel
+    (ops/ladder_kernel.py) — one lane per (candidate, branch); elsewhere
+    this is vmapped ladder_planes. Semantics match ladder_planes up to the
+    kernel's documented query-flood cap. `use_kernel` overrides the
+    platform check (tests run the kernel in interpret mode on CPU)."""
+    if use_kernel is None:
+        use_kernel = B._use_pallas()
+    if not use_kernel:
+        return jax.vmap(
+            lambda s, z, k: ladder_planes(s, z, k)
+        )(stones, size, ko if ko is not None
+          else jnp.full(stones.shape[:1], NO_VERTEX, jnp.int32))
+
+    from sayuri_tpu.ops import ladder_kernel as LK
+
+    b, n = stones.shape[0], stones.shape[-1]
+    nn = n * n
+    if ko is None:
+        ko = jnp.full((b,), NO_VERTEX, jnp.int32)
+
+    prep = jax.vmap(_prep_candidates)(stones, size, ko)
+    M = MAX_CHAINS
+    cand_v = prep["cand_v"]          # [B, M]
+    valid = cand_v >= 0
+    nlibs = prep["nlibs"]
+    color = prep["color"]
+    l1, l2 = prep["l1"], prep["l2"]
+    legal_a, legal_b = prep["legal_a"], prep["legal_b"]
+
+    mask_b = jax.vmap(lambda z: B.board_mask(z, n))(size)
+    bwords = LK.pack_bitboards((stones == 1) & mask_b)      # [B, 32]
+    wwords = LK.pack_bitboards((stones == 2) & mask_b)
+
+    own = jnp.where(
+        (color == 0)[:, :, None], bwords[:, None], wwords[:, None]
+    )                                                        # [B, M, 32]
+    opp = jnp.where(
+        (color == 0)[:, :, None], wwords[:, None], bwords[:, None]
+    )
+    # two chase lanes per candidate:
+    # lane 0: atari chase (1 lib) or first-liberty hunter branch (2 libs)
+    # lane 1: second-liberty hunter branch (2 libs only)
+    fh0 = jnp.where(nlibs == 1, NO_VERTEX, l1)
+    ok0 = valid & ((nlibs == 1) | ((nlibs == 2) & legal_a))
+    fh1 = l2
+    ok1 = valid & (nlibs == 2) & legal_b
+
+    def lanes(x0, x1):
+        return jnp.stack([x0, x1], axis=2).reshape(b * M * 2, -1).squeeze(-1)
+
+    own2 = jnp.broadcast_to(own[:, :, None], (b, M, 2, LK.ROWS)).reshape(
+        b * M * 2, LK.ROWS
+    )
+    opp2 = jnp.broadcast_to(opp[:, :, None], (b, M, 2, LK.ROWS)).reshape(
+        b * M * 2, LK.ROWS
+    )
+    size_l = jnp.broadcast_to(size[:, None, None], (b, M, 2)).reshape(-1)
+    ko_l = jnp.broadcast_to(ko[:, None, None], (b, M, 2)).reshape(-1)
+    prey_l = jnp.broadcast_to(
+        jnp.maximum(cand_v, 0)[:, :, None], (b, M, 2)
+    ).reshape(-1)
+    fh_l = lanes(fh0[..., None], fh1[..., None])
+    ok_l = lanes(ok0[..., None].astype(jnp.int32),
+                 ok1[..., None].astype(jnp.int32))
+
+    res = LK.run_chases(
+        own2, opp2, size_l, ko_l, prey_l, fh_l, ok_l, n
+    ).reshape(b, M, 2)
+
+    died = (nlibs == 1) & valid & (res[..., 0] == HUNTER_GOOD)
+    vital_a = (nlibs == 2) & ok0 & (res[..., 0] == HUNTER_GOOD)
+    vital_b = (nlibs == 2) & ok1 & (res[..., 1] == HUNTER_GOOD)
+    is_ladder = vital_a | vital_b
+
+    labels = prep["labels"].reshape(b, 1, nn)
+    chain_of = (labels == jnp.maximum(cand_v, 0)[:, :, None]) & valid[
+        :, :, None
+    ]                                                        # [B, M, nn]
+    cells = jnp.arange(nn)
+    oh_l1 = (l1[:, :, None] == cells) & (l1[:, :, None] < nn)
+    oh_l2 = (l2[:, :, None] == cells) & (l2[:, :, None] < nn)
+
+    death = jnp.any(chain_of & died[:, :, None], axis=1)
+    take = jnp.any(oh_l1 & died[:, :, None], axis=1)
+    esc = jnp.any(chain_of & is_ladder[:, :, None], axis=1)
+    atari = jnp.any(
+        (oh_l1 & vital_a[:, :, None]) | (oh_l2 & vital_b[:, :, None]),
+        axis=1,
+    )
+    out = jnp.stack(
+        [
+            death.reshape(b, n, n),
+            esc.reshape(b, n, n),
+            atari.reshape(b, n, n),
+            take.reshape(b, n, n),
+        ],
+        axis=-1,
+    )
+    return out.astype(jnp.float32)

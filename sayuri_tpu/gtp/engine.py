@@ -194,9 +194,9 @@ class Agent:
                 from sayuri_tpu.game import ladder as L
 
                 ctx = {
-                    "ladders": jax.vmap(
-                        lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-                    )(states)
+                    "ladders": L.ladder_planes_batch(
+                        states.stones, states.size, states.ko
+                    )
                 }
                 tree = mcts.init_tree(
                     states, rng, prior_mask=prior_mask, ctx=ctx
@@ -217,9 +217,9 @@ class Agent:
                 from sayuri_tpu.game import ladder as L
 
                 ctx = {
-                    "ladders": jax.vmap(
-                        lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-                    )(new_states)
+                    "ladders": L.ladder_planes_batch(
+                        new_states.stones, new_states.size, new_states.ko
+                    )
                 }
                 tree, reused = mcts.advance_root(
                     tree, action, new_states, rng,

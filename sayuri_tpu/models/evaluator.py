@@ -77,9 +77,7 @@ def make_eval_fn(
             # full ladder mode: compute ladder planes per position
             from sayuri_tpu.game import ladder as L
 
-            lp = jax.vmap(
-                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-            )(states)
+            lp = L.ladder_planes_batch(states.stones, states.size, states.ko)
 
         if analysis is None:
             planes = jax.vmap(

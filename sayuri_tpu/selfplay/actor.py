@@ -245,9 +245,9 @@ class SelfplayActor:
         from sayuri_tpu.game import ladder as L
 
         ctx = {
-            "ladders": jax.vmap(
-                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-            )(states)
+            "ladders": L.ladder_planes_batch(
+                states.stones, states.size, states.ko
+            )
         }
 
         if prev_tree is None:

@@ -146,3 +146,30 @@ class TestStepKernel:
                 ref_legal, np.asarray(out["legal"])
             )
             states = ref
+
+
+class TestLadderKernel:
+    """Pallas ladder-chase kernel vs the XLA greedy chase (game/ladder.py).
+
+    Cell-exact over random midgame boards; the kernel replays the identical
+    decision rules (board.cc:484-821 semantics) on bitboard lanes."""
+
+    def test_matches_xla_reference(self):
+        from sayuri_tpu.game import ladder as L
+        from sayuri_tpu.ops import ladder_kernel as LK
+
+        LK.INTERPRET = True
+        try:
+            for b, n, moves, seed in [(4, 9, 30, 0), (2, 13, 55, 4)]:
+                env, states = random_states(b=b, n=n, moves=moves, seed=seed)
+                ref = jax.vmap(
+                    lambda s: L.ladder_planes(s.stones, s.size, s.ko)
+                )(states)
+                ker = L.ladder_planes_batch(
+                    states.stones, states.size, states.ko, use_kernel=True
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(ref), np.asarray(ker)
+                )
+        finally:
+            LK.INTERPRET = False
