@@ -19,6 +19,69 @@ import sys
 import time
 
 BASELINE_PLAYOUTS_PER_S = 1500.0
+# project north-star for the raw vectorized env (BASELINE.md: >=1M
+# env-steps/s per chip at 19x19)
+TARGET_ENV_STEPS_PER_S = 1.0e6
+
+
+def bench_env_steps(batch=4096, n=19, steps=64):
+    """Raw vectorized env throughput: fused step+analysis launches with
+    legal random moves chained on-device (no host round-trip per step).
+    The measured op is the full board transition of board.cc:1407-1484
+    (captures, ko, Zobrist, superko ring) PLUS the leaf analyses (legal
+    map, liberties, safe area, score ownership) the search consumes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sayuri_tpu.game.state import GoEnv
+
+    env = GoEnv(n=n)
+    states = env.new_batch(batch, komi=7.5)
+
+    @jax.jit
+    def rollout(states, rng):
+        legal0 = jax.vmap(env.legal_action_mask)(states)[:, : n * n]
+
+        def body(i, carry):
+            states, legal, rng = carry
+            rng, k = jax.random.split(rng)
+            logits = jnp.where(legal, 0.0, -jnp.inf)
+            acts = jax.random.categorical(k, logits, axis=-1)
+            acts = jnp.where(legal.any(axis=-1), acts, n * n)
+            new_states, analysis = env.step_batch_with_analysis(
+                states, acts.astype(jnp.int32)
+            )
+            if analysis is None:  # non-Pallas fallback
+                new_legal = jax.vmap(env.legal_action_mask)(new_states)[
+                    :, : n * n
+                ]
+            else:
+                new_legal = analysis["legal"]
+            return new_states, new_legal, rng
+
+        return lax.fori_loop(0, steps, body, (states, legal0, rng))[0]
+
+    rng = jax.random.PRNGKey(0)
+    out = rollout(states, rng)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    iters = 3
+    for i in range(iters):
+        out = rollout(states, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = time.monotonic() - t0
+    rate = iters * batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env_steps_per_s_{n}x{n}",
+                "value": round(rate, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / TARGET_ENV_STEPS_PER_S, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -29,6 +92,13 @@ def main():
     from sayuri_tpu.mcts.core import MCTS, SearchConfig
     from sayuri_tpu.models.evaluator import make_eval_fn
     from sayuri_tpu.models.network import NetConfig, SayuriNet
+
+    if len(sys.argv) > 1 and sys.argv[1] == "envsteps":
+        bench_env_steps(
+            batch=int(sys.argv[2]) if len(sys.argv) > 2 else 4096,
+            n=int(sys.argv[3]) if len(sys.argv) > 3 else 19,
+        )
+        return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
@@ -50,9 +120,9 @@ def main():
         from sayuri_tpu.game import ladder as L
 
         ctx = {
-            "ladders": jax.vmap(
-                lambda s: L.ladder_planes(s.stones, s.size, s.ko)
-            )(states)
+            "ladders": L.ladder_planes_batch(
+                states.stones, states.size, states.ko
+            )
         }
         tree = mcts.init_tree(states, rng, ctx=ctx)
         tree = mcts.run(tree, playouts, ctx=ctx)

@@ -39,6 +39,10 @@ OPTIONS: dict[str, Opt] = {
     "reuse_tree": Opt(True),
     "ponder": Opt(False),
     "resign_threshold": Opt(0.1, 0.0, 1.0),
+    # NN eval cache entries per search lane (the reference sizes its cache
+    # in MiB, --cache-memory-mib, network.cc:102-121; here the unit is
+    # entries because the store is dense device arrays). 0 disables.
+    "nn_cache_size": Opt(512, 0, 1 << 20),
     # search knobs (parameters.h:14-84)
     "cpuct_init": Opt(0.5),
     "cpuct_base": Opt(19652.0),
@@ -166,6 +170,7 @@ class Options:
             dirichlet_epsilon=g("dirichlet_epsilon"),
             dirichlet_init=g("dirichlet_init"),
             dirichlet_factor=g("dirichlet_factor"),
+            nn_cache_size=g("nn_cache_size"),
             **over,
         )
 

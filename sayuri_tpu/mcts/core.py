@@ -94,6 +94,10 @@ class SearchConfig:
     gumbel_considered_moves: int = 16
     # LCB best-move selection
     lcb_reduction: float = 0.02
+    # NN eval cache (cache.h / network.cc:102-121): entries per lane;
+    # 0 disables. Hit/frozen/terminal lanes are compacted out of the
+    # forward (see mcts/nncache.py).
+    nn_cache_size: int = 0
 
 
 @struct.dataclass
@@ -170,6 +174,10 @@ class Tree:
     # parameter set for fast-search lanes (search.cc:33-45, 269-271)
     use_noise: jnp.ndarray       # [B] bool
     use_gumbel: jnp.ndarray      # [B] bool
+
+    # optional NN eval cache (mcts/nncache.py) riding with the search
+    # state so it survives tree reuse and game boundaries; None = off
+    cache: Any = None
 
     @property
     def num_actions(self) -> int:
@@ -263,6 +271,7 @@ class MCTS:
         use_gumbel=None,
         prior_mask=None,
         ctx=None,
+        cache=None,
     ) -> Tree:
         """Evaluate roots and build a fresh forest (PrepareRootNode,
         search.cc:139-181 + node.cc:32). `use_noise`/`use_gumbel` are
@@ -275,7 +284,17 @@ class MCTS:
         n_nodes, A = cfg.max_nodes, self.A
         hw = self.env.n * self.env.n
 
-        evals = self.eval_fn(root_states, ctx)
+        if cache is None and cfg.nn_cache_size > 0:
+            from sayuri_tpu.mcts import nncache as NC
+
+            cache = NC.make_cache(b, cfg.nn_cache_size, A, hw)
+        if cache is not None:
+            from sayuri_tpu.mcts import nncache as NC
+
+            evals, cache = NC.cached_eval(cache, self.eval_fn,
+                                          root_states, ctx)
+        else:
+            evals = self.eval_fn(root_states, ctx)
         if prior_mask is not None:
             priors = jnp.where(prior_mask, evals.priors, 0.0)
             priors = priors / jnp.maximum(
@@ -350,6 +369,7 @@ class MCTS:
             use_gumbel=(
                 jnp.full((b,), cfg.gumbel) if use_gumbel is None else use_gumbel
             ),
+            cache=cache,
         )
         return tree
 
@@ -648,8 +668,19 @@ class MCTS:
         eval_ctx = ctx
         if analysis is not None:
             eval_ctx = dict(ctx or {}, analysis=analysis)
-        evals = self.eval_fn(child_states, eval_ctx)
         term = child_states.terminated
+        if tree.cache is not None:
+            # cache probe before the forward (network.cc:102-121); frozen
+            # and terminal lanes drop out of the compacted forward too
+            from sayuri_tpu.mcts import nncache as NC
+
+            evals, new_cache = NC.cached_eval(
+                tree.cache, self.eval_fn, child_states, eval_ctx,
+                live=active & ~term,
+            )
+            tree = tree.replace(cache=new_cache)
+        else:
+            evals = self.eval_fn(child_states, eval_ctx)
         # terminal two-pass leaves valued by the final score
         # (search.cc:71-88); Tromp-Taylor ownership stands in for the full
         # score-area pass (see mcts docstring). Terminal leaves are rare,
@@ -922,6 +953,9 @@ class MCTS:
 
         # --- fresh tree for all lanes (also supplies new root evals,
         # noise, gumbel); select per lane ---
+        # the cache rides through: reuse lanes' root positions were cached
+        # when first expanded, so their (discarded) fresh-root evals drop
+        # out of the compacted forward as hits
         fresh = self.init_tree(
             new_root_states,
             rng,
@@ -929,6 +963,7 @@ class MCTS:
             use_gumbel=use_gumbel,
             prior_mask=prior_mask,
             ctx=ctx,
+            cache=tree.cache,
         )
 
         # reused lanes: overwrite root state with the authoritative game
@@ -957,6 +992,10 @@ class MCTS:
                 prior=reused.prior.at[:, 0].set(pri)
             )
 
+        # merge per lane; the cache is merged out-of-band (fresh.cache is
+        # the evolved shared cache for ALL lanes — a per-lane where would
+        # broadcast its scalar counter and drop fresh lanes' entries)
+        cache_out = fresh.cache
         out = jax.tree.map(
             lambda r, f: jnp.where(
                 jnp.reshape(
@@ -966,9 +1005,10 @@ class MCTS:
                 r,
                 f,
             ),
-            reused,
-            fresh,
+            reused.replace(cache=None),
+            fresh.replace(cache=None),
         )
+        out = out.replace(cache=cache_out)
         return out, has_reuse
 
     # ------------------------------------------------------------------

@@ -336,10 +336,10 @@ def _chase_kernel(n, max_iters, own_ref, opp_ref, size_ref, ko_ref,
 
         legal1 = legal_at(h1bit, h1)
         legal2 = legal_at(h2bit, h2)
-        pick1 = jnp.where(
-            p1 >= 3,
-            legal1,
-            jnp.where(p2 >= 3, False, legal1 & ((p1 >= p2) | ~legal2)),
+        # same decision table as ladder.py's nested where, written as pure
+        # and/or — Mosaic cannot materialize bool-vector select constants
+        pick1 = legal1 & (
+            (p1 >= 3) | (~(p2 >= 3) & ((p1 >= p2) | ~legal2))
         )
         pick2 = ~pick1 & legal2 & ~(p1 >= 3)
         no_move = ~pick1 & ~pick2

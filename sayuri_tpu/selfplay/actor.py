@@ -84,6 +84,7 @@ class SelfplayActor:
         # tree reuse across moves = the reference's default "visit cap
         # oscillation" mode (GetSelfPlayMove, search.cc:948-960)
         self.reuse_tree = reuse_tree
+        self.last_query_stats = None
         self._move_step = jax.jit(self._move_step_impl)
         self._move_step_reuse = jax.jit(self._move_step_impl)
 
@@ -398,6 +399,9 @@ class SelfplayActor:
         already_lost = jnp.zeros((b,), bool)
         records = []
         tree = move = None
+        import numpy as np
+
+        qtotals = np.zeros((3,), np.int64)  # queries, hits, forward rows
         for t in range(max_moves):
             rng, sub = jax.random.split(rng)
             if tree is None or not self.reuse_tree:
@@ -411,8 +415,29 @@ class SelfplayActor:
                     )
                 )
             records.append(rec)
+            if tree.cache is not None:
+                # COUNTED query accounting (network.h:44-45), not the
+                # round-1 estimate: with tree reuse the cache counters are
+                # cumulative; without, each move has a fresh cache
+                cur = np.array(
+                    [
+                        int(jnp.sum(tree.cache.queries)),
+                        int(jnp.sum(tree.cache.hits)),
+                        int(tree.cache.forward_rows),
+                    ],
+                    np.int64,
+                )
+                if self.reuse_tree:
+                    qtotals = cur
+                else:
+                    qtotals += cur
             if bool(states.terminated.all()):
                 break
+        self.last_query_stats = dict(
+            queries=int(qtotals[0]),
+            hits=int(qtotals[1]),
+            forward_rows=int(qtotals[2]),
+        )
         return states, records
 
 

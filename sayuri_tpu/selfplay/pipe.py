@@ -195,12 +195,21 @@ class SelfPlayPipe:
 
     def _write_queries(self, records):
         """Accumulate NN query counts for compute accounting
-        (pipe.cc:161-175, check_accum_queries.py)."""
-        # one eval per playout per active lane + one root eval per move
-        total = 0
-        for rec in records:
-            active = int(np.asarray(rec.active).sum())
-            total += active * (self.actor.cfg.playouts + 1)
+        (pipe.cc:161-175, check_accum_queries.py).
+
+        With the NN cache on, the count is COUNTED like the reference's
+        num_queries_ — incremented per actual net forward, after the cache
+        probe (network.cc:178) — via the device counters in
+        mcts/nncache.py. Fallback (cache off): the round-1 estimate."""
+        stats = getattr(self.actor, "last_query_stats", None)
+        if stats is not None and stats["queries"] > 0:
+            total = stats["queries"] - stats["hits"]
+        else:
+            # one eval per playout per active lane + one root eval per move
+            total = 0
+            for rec in records:
+                active = int(np.asarray(rec.active).sum())
+                total += active * (self.actor.cfg.playouts + 1)
         self.total_queries += total
         path = self.out_dir / "net_queries" / f"{self.run_id}.txt"
         path.write_text(f"{self.games_done} {self.total_queries}\n")

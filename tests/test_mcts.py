@@ -212,3 +212,56 @@ class TestTreeReuse:
         legal = np.asarray(jax.jit(jax.vmap(env.legal_action_mask))(new_states))
         for i in range(2):
             assert legal[i, best2[i]]
+
+
+class TestNNCache:
+    """Device NN eval cache (mcts/nncache.py ~ cache.h + network.cc:102-121):
+    cached searches must select identically, count real queries, and hit on
+    warm re-searches."""
+
+    def _setup(self, cache_size):
+        env = GoEnv(n=5)
+        states = env.new_batch(4, komi=7.5)
+        cfg = SearchConfig(
+            max_nodes=40, max_depth=24, nn_cache_size=cache_size
+        )
+        mcts = MCTS(env, make_dummy_eval(env), cfg)
+        budget = jnp.asarray([24, 8, 24, 8], jnp.int32)
+
+        @jax.jit
+        def go(states, cache=None):
+            tree = mcts.init_tree(
+                states, jax.random.PRNGKey(3), cache=cache
+            )
+            return mcts.run(tree, 24, budget=budget)
+
+        return env, mcts, go, states
+
+    def test_cached_matches_uncached(self):
+        _, m0, go0, states = self._setup(0)
+        _, m1, go1, _ = self._setup(64)
+        t0 = go0(states)
+        t1 = go1(states)
+        np.testing.assert_array_equal(
+            np.asarray(m0.root_child_visits(t0)),
+            np.asarray(m1.root_child_visits(t1)),
+        )
+        assert t0.cache is None and t1.cache is not None
+
+    def test_counters_and_warm_hits(self):
+        _, mcts, go, states = self._setup(64)
+        t1 = go(states)
+        q = np.asarray(t1.cache.queries)
+        h = np.asarray(t1.cache.hits)
+        # budget+1 evals requested per live lane (root + playouts)
+        np.testing.assert_array_equal(q, [25, 9, 25, 9])
+        assert int(t1.cache.forward_rows) <= int(q.sum())
+        # warm rerun on the same positions: (almost) everything hits
+        t2 = go(states, t1.cache)
+        h2 = np.asarray(t2.cache.hits) - h
+        q2 = np.asarray(t2.cache.queries) - q
+        assert (h2 > 0.5 * q2).all()
+        np.testing.assert_array_equal(
+            np.asarray(mcts.root_child_visits(t1)),
+            np.asarray(mcts.root_child_visits(t2)),
+        )
