@@ -64,6 +64,8 @@ class Agent:
         kldgain_per_node: float = 0.0,
         kldgain_interval: int = 0,
         chunk: int = 16,
+        friendly_pass: bool = False,
+        capture_all_dead: bool = False,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -81,6 +83,12 @@ class Agent:
         self.kldgain_interval = kldgain_interval
         self.chunk = chunk
         self.reuse_tree = True
+        # post-search move hygiene (search.cc:830-861; defaults off like
+        # the reference's friendly_pass / capture_all_dead options,
+        # config.cc:29,34)
+        self.friendly_pass = friendly_pass
+        self.capture_all_dead = capture_all_dead
+        self._np_rng = np.random.RandomState(seed)
         self._build(boardsize, komi)
 
     # -- construction / reconstruction (Network::Reconstruct path,
@@ -431,8 +439,103 @@ class Agent:
         wl = wl_black if color == 0 else 1.0 - wl_black
         if wl < resign_threshold and self.moves:
             return "resign", tree
+        if self.friendly_pass or self.capture_all_dead:
+            best = self._apply_move_hygiene(best, tree, color)
         self.play(color, best)
         return best, tree
+
+    # -- post-search move hygiene (search.cc:640-861) -------------------
+
+    def _hygiene_maps(self):
+        """(safe [n,n] bool, safe_own [n,n] {-1,0,1}, raw_own [n,n]) for
+        the current position (GetStrictSafeArea / GetOwnership /
+        GetRawOwnership, game_state.cc:505-521, 832-836)."""
+
+        def build():
+            from sayuri_tpu.game import analysis as A
+            from sayuri_tpu.game import board as B
+
+            def one(s):
+                safe, own = A.safe_and_ownership(s.stones, s.size)
+                raw = B.area_ownership(s.stones, s.size)
+                return safe, own, raw
+
+            return jax.jit(jax.vmap(one))
+
+        safe, own, raw = self._get_jit("hygiene", build)(self.state)
+        return (
+            np.asarray(safe)[0],
+            np.asarray(own)[0],
+            np.asarray(raw)[0],
+        )
+
+    def _score_black_cleaned(self, cleaned_stones):
+        """Final score from BLACK's view after dead-stone removal
+        (fork_state.GetFinalScore, search.cc:819-822)."""
+        fn = self._get_jit(
+            "score_cleaned", lambda: jax.jit(jax.vmap(self.env.final_score))
+        )
+        st = self.state.replace(
+            stones=jnp.asarray(cleaned_stones, self.state.stones.dtype)[None]
+        )
+        return float(np.asarray(fn(st))[0])
+
+    def dead_alive(self, tree=None):
+        """(dead, alive) [n,n] stone masks from search root ownership
+        (search.cc:640-683). Runs a fresh bounded search when no tree is
+        given (final_status_list's Computation(400), gtp.cc:498-500)."""
+        from sayuri_tpu.mcts import hygiene as H
+
+        if tree is None:
+            tree, _ = self.think(playouts=min(self.playouts, 400))
+        color = self.to_move()
+        safe, safe_own, _ = self._hygiene_maps()
+        own_black = np.asarray(tree.root_ownership[0]).reshape(
+            self.size, self.size
+        )
+        owner = H.owner_map(safe, safe_own, own_black, color)
+        return H.dead_alive_masks(self.stones(), owner, color)
+
+    def _apply_move_hygiene(self, best, tree, color):
+        """Friendly pass + capture-all-dead filters on the chosen move
+        (GetBestMove, search.cc:846-860). Area scoring only."""
+        from sayuri_tpu.mcts import hygiene as H
+
+        if self.rule != AREA_RULE:
+            return best
+        pass_a = self.size * self.size
+        safe, safe_own, raw = self._hygiene_maps()
+        stones = self.stones()
+        own_black = np.asarray(tree.root_ownership[0]).reshape(
+            self.size, self.size
+        )
+        owner = H.owner_map(safe, safe_own, own_black, color)
+        last_was_pass = bool(self.moves) and self.moves[-1][1] >= pass_a
+        if self.friendly_pass and last_was_pass:
+            dead, _ = H.dead_alive_masks(stones, owner, color)
+            if H.should_pass(
+                stones,
+                dead,
+                color,
+                len(self.moves),
+                True,
+                self._score_black_cleaned,
+            ):
+                best = pass_a
+        if self.capture_all_dead and best == pass_a:
+            legal = np.asarray(
+                self._get_jit(
+                    "legal",
+                    lambda: jax.jit(jax.vmap(self.env.legal_action_mask)),
+                )(self.state)
+            )[0]
+            sk = np.asarray(self._superko_mask())[0]
+            cad = H.capture_all_dead_move(
+                stones, owner, raw, legal, sk, color, self._np_rng
+            )
+            if cad is not None:
+                best = cad
+        return best
 
     def analysis_data(self, tree, max_moves=10):
         """Per-move stats rows for analyze commands, ranked by the

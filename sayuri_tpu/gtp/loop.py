@@ -292,26 +292,36 @@ class GtpLoop:
         return True, self.agent.final_score_str()
 
     def _cmd_final_status_list(self, args):
+        """Search-based life/death verdicts, one string per line
+        (gtp.cc:498-533: Computation(400) then alive/dead_strings)."""
+        from sayuri_tpu.mcts.hygiene import chain_labels_np
+
         which = args[0] if args else "dead"
-        own = self.agent.ownership().reshape(
-            self.agent.size, self.agent.size
-        )
-        s = self.agent.stones()
         size = self.agent.size
-        out = []
-        for y in range(size):
-            for x in range(size):
-                stone = int(s[y, x])
-                if stone == 0:
-                    continue
-                stone_color = stone - 1  # 0 black / 1 white
-                owner = own[y, x]  # +1 black
-                dead = (stone_color == 0 and owner < 0) or (
-                    stone_color == 1 and owner > 0
-                )
-                if (which == "dead") == dead:
-                    out.append(vertex_to_gtp(y * size + x, size))
-        return True, " ".join(out)
+        s = self.agent.stones()
+        if self.agent.has_net:
+            dead_mask, alive_mask = self.agent.dead_alive()
+        else:
+            # no network: raw reach-area ownership heuristic
+            own = self.agent.ownership().reshape(size, size)
+            stone_color = s - 1
+            dead_mask = ((stone_color == 0) & (own < 0)) | (
+                (stone_color == 1) & (own > 0)
+            )
+            dead_mask &= s > 0
+            alive_mask = (s > 0) & ~dead_mask
+        mask = dead_mask if which == "dead" else alive_mask
+        labels = chain_labels_np(s)
+        lines = []
+        import numpy as np
+
+        for lbl in np.unique(labels[mask & (labels >= 0)]):
+            verts = [
+                vertex_to_gtp(int(y) * size + int(x), size)
+                for y, x in zip(*np.nonzero(labels == lbl))
+            ]
+            lines.append(" ".join(verts))
+        return True, "\n".join(lines)
 
     # -- handicap ------------------------------------------------------
 
@@ -463,6 +473,14 @@ class GtpLoop:
             self.agent.kldgain_per_node = float(value)
         elif name == "kldgain interval":
             self.agent.kldgain_interval = int(value)
+        elif name == "friendly pass":
+            if low not in ("true", "false"):
+                return False, "invalid value"
+            self.agent.friendly_pass = low == "true"
+        elif name == "capture all dead":
+            if low not in ("true", "false"):
+                return False, "invalid value"
+            self.agent.capture_all_dead = low == "true"
         else:
             return False, "invalid option name"
         return True, ""

@@ -25,3 +25,15 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass  # XLA_FLAGS fallback above covers older jax
+
+# Persistent compilation cache: the suite's cost is dominated by XLA
+# compiles of the jitted search/env/net programs, which are identical
+# across runs. Caching them makes repeat runs ~10x faster (cold runs
+# still pay the compile once).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "jax")
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
