@@ -33,7 +33,20 @@ def run_gtp(opts: Options):
 
 
 def run_selfplay(opts: Options):
+    import jax
+
+    from sayuri_tpu.parallel import distributed as DI, mesh as M
     from sayuri_tpu.selfplay.pipe import SelfPlayPipe
+
+    # multi-host: join the jax.distributed job when SAYURI_COORDINATOR /
+    # SAYURI_NUM_PROCS / SAYURI_PROC_ID are set (one process per host);
+    # self-play lanes shard over all chips of all hosts on one mesh
+    DI.initialize_from_env()
+    mesh = None
+    if jax.device_count() > 1:
+        mesh = (
+            DI.global_mesh() if DI.is_multiprocess() else M.make_mesh()
+        )
 
     pipe = SelfPlayPipe(
         out_dir=opts.get("target_directory") or "selfplay-out",
@@ -43,6 +56,7 @@ def run_selfplay(opts: Options):
         search_cfg=opts.search_config(),
         sp_cfg=opts.selfplay_config(),
         weights_dir=opts.get("weights_dir") or None,
+        mesh=mesh,
     )
     max_games = opts.get("num_games") or opts.get("parallel_games")
     pipe.loop(max_games)

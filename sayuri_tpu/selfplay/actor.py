@@ -77,13 +77,19 @@ class MoveRecord(NamedTuple):
 
 class SelfplayActor:
     def __init__(self, env: GoEnv, mcts: MCTS, cfg: SelfplayConfig,
-                 reuse_tree: bool = True):
+                 reuse_tree: bool = True, mesh=None):
         self.env = env
         self.mcts = mcts
         self.cfg = cfg
         # tree reuse across moves = the reference's default "visit cap
         # oscillation" mode (GetSelfPlayMove, search.cc:948-960)
         self.reuse_tree = reuse_tree
+        # optional jax.sharding.Mesh: self-play batches are sharded over
+        # the mesh's "data" axis (SURVEY.md §2.10 P3/P4 — the TPU-native
+        # replacement for the reference's one-thread-per-GPU forward pipe,
+        # cuda_forward_pipe.cc:14-33). jit propagates the input sharding
+        # through search + env step, so lanes stay device-resident.
+        self.mesh = mesh
         self.last_query_stats = None
         self._move_step = jax.jit(self._move_step_impl)
         self._move_step_reuse = jax.jit(self._move_step_impl)
@@ -396,6 +402,17 @@ class SelfplayActor:
         if max_moves is None:
             max_moves = int(cfg.max_moves_factor * env.n * env.n)
         b = states.stones.shape[0]
+        if self.mesh is not None:
+            from sayuri_tpu.parallel import distributed as DI, mesh as M
+
+            if jax.process_count() > 1:
+                # each process contributes its local lanes; B is global
+                states = DI.make_global_batch(self.mesh, states)
+                b = states.stones.shape[0]
+            elif b % self.mesh.devices.size == 0:
+                states = M.shard_batch(self.mesh, states)
+            # else: B not divisible by the mesh — run unsharded (the jit
+            # falls back to single-device placement)
         already_lost = jnp.zeros((b,), bool)
         records = []
         tree = move = None

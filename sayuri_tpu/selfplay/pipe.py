@@ -57,6 +57,7 @@ class SelfPlayPipe:
         weights_dir: str | None = None,
         queries: list[str] | None = None,
         seed: int = 0,
+        mesh=None,
     ):
         from sayuri_tpu.selfplay.randomize import parse_queries
 
@@ -85,8 +86,14 @@ class SelfPlayPipe:
         self.search_cfg = search_cfg or SearchConfig(
             max_nodes=176, gumbel=True
         )
-        self.rng = jax.random.PRNGKey(seed)
-        self.run_id = f"{int(time.time()):x}{seed:02x}"
+        self.mesh = mesh
+        # per-process rng + run id: lanes on different hosts must play
+        # different games (engine.cc seeds per worker thread)
+        pid = jax.process_index()
+        self.rng = jax.random.PRNGKey(seed * 7919 + pid)
+        self.run_id = f"{int(time.time()):x}{seed:02x}" + (
+            f"p{pid}" if jax.process_count() > 1 else ""
+        )
         self.current_weights = None
         self.games_done = 0
         self.total_queries = 0
@@ -101,6 +108,12 @@ class SelfPlayPipe:
             from sayuri_tpu.models import weights_io
 
             net_cfg, variables = weights_io.load_checkpoint_for_inference(path)
+            # multi-host: host 0's weights are authoritative — broadcast
+            # over the fabric so a mid-write or stale file on a worker
+            # host can't skew lanes (engine.cc:63-90 re-read, TPU-native)
+            from sayuri_tpu.parallel import distributed as DI
+
+            variables = DI.broadcast_from_host0(variables)
             net = SayuriNet(
                 type(net_cfg)(**{**net_cfg.__dict__, "boardsize": self.env.n})
             )
@@ -122,7 +135,7 @@ class SelfPlayPipe:
                     ),
                 }
             )
-        self.actor = SelfplayActor(self.env, mcts, sp)
+        self.actor = SelfplayActor(self.env, mcts, sp, mesh=self.mesh)
 
         # game randomizer shares the actor's evaluator; fair komi probes
         # with a quick no-exploring search (engine.cc:313-323)
@@ -156,6 +169,12 @@ class SelfPlayPipe:
         states = self.randomizer.prepare(self.parallel_games, sub2)
         final, records = self.actor.play_games(states, sub)
         targets = assemble_targets(self.env, final, records)
+        if jax.process_count() > 1:
+            # every host serializes only the lanes it owns
+            from sayuri_tpu.parallel import distributed as DI
+
+            records = jax.tree.map(DI.local_lanes, records)
+            targets = jax.tree.map(DI.local_lanes, targets)
         games = D.games_to_text(self.env, records, targets)
         n = D.write_chunks(
             games, str(self.out_dir), self.run_id, seed=self.games_done
