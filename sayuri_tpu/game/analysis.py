@@ -216,3 +216,38 @@ def score_area_ownership(stones, size):
     board.cc:1581-1616). +1 black, -1 white, 0 neutral."""
     _, own = safe_and_ownership(stones, size)
     return own
+
+
+def remove_dead_stones(stones, size, helper_own):
+    """[n, n] int8 board with helper-marked dead strings removed.
+
+    Board::ComputeScoreArea's territory branch (board.cc:1581-1600): every
+    stone whose color contradicts the territory-helper ownership is marked,
+    and RemoveMarkedStrings drops the WHOLE string containing any marked
+    stone. `helper_own` is [n, n] in {-1, 0, +1} (black +1), produced by the
+    area-rule playout of Search::UpdateTerritoryHelper (search.cc:1139-1162).
+    """
+    n = stones.shape[-1]
+    nn = n * n
+    mask = B.board_mask(size, n)
+    black = (stones == 1) & mask
+    white = (stones == 2) & mask
+    dead = jnp.zeros(stones.shape, bool)
+    for color_mask, dead_owner in ((black, -1), (white, 1)):
+        marked = color_mask & (helper_own == dead_owner)
+        lbl = B.chain_labels(color_mask)
+        dead_lbl = _scatter_or(marked, lbl, nn)
+        dead = dead | jnp.where(
+            lbl >= 0,
+            dead_lbl[jnp.clip(lbl, 0, nn - 1).reshape(-1)].reshape(lbl.shape),
+            False,
+        )
+    return jnp.where(dead, 0, stones).astype(stones.dtype)
+
+
+def score_area_ownership_territory(stones, size, helper_own):
+    """Territory-rule score area: remove helper-marked dead strings, then
+    score the cleaned board under the area rule (board.cc:1581-1600)."""
+    return score_area_ownership(
+        remove_dead_stones(stones, size, helper_own), size
+    )

@@ -333,6 +333,51 @@ class GoEnv:
     def ownership(self, state: GoState) -> jnp.ndarray:
         return B.area_ownership(state.stones, state.size)
 
+    def penalty_offset_to_area(self, state: GoState) -> jnp.ndarray:
+        """GetPenaltyOffset(kArea, old_rule) (game_state.cc:711-724):
+        komi adjustment that preserves the score when switching a game to
+        area scoring. Zero when the game is already area-ruled."""
+        territory_pen = (
+            state.played_stones[0] - state.played_stones[1]
+        ).astype(jnp.float32)
+        area_pen = state.handicap.astype(jnp.float32)
+        return jnp.where(
+            state.rule == AREA_RULE, 0.0, territory_pen - area_pen
+        )
+
+    def final_score_with_helper(self, state: GoState, helper_own) -> jnp.ndarray:
+        """Black-minus-white final score honoring a territory helper.
+
+        GameState::GetFinalScore (game_state.cc:646-656): under the
+        territory rule, strings contradicted by `helper_own` ([n, n]
+        {-1, 0, +1} from the area-rule playout, search.cc:1139-1162) are
+        removed before area scoring (board.cc:1581-1600). Area-rule games
+        ignore the helper."""
+        from sayuri_tpu.game import analysis
+
+        cleaned = jnp.where(
+            state.rule == AREA_RULE,
+            state.stones,
+            analysis.remove_dead_stones(state.stones, state.size, helper_own),
+        ).astype(state.stones.dtype)
+        board_score = jnp.sum(
+            analysis.score_area_ownership(cleaned, state.size),
+            dtype=jnp.float32,
+        )
+        return board_score - self.komi_with_penalty(state)
+
+    def ownership_with_helper(self, state: GoState, helper_own) -> jnp.ndarray:
+        """[n, n] score-area ownership honoring the territory helper
+        (GameState::GetOwnership, game_state.cc:507-513)."""
+        from sayuri_tpu.game import analysis
+
+        cleaned = jnp.where(
+            state.rule == AREA_RULE,
+            state.stones,
+            analysis.remove_dead_stones(state.stones, state.size, helper_own),
+        ).astype(state.stones.dtype)
+        return analysis.score_area_ownership(cleaned, state.size)
+
 
 def _bshape(flag, like):
     """Broadcast a scalar bool against `like`'s shape."""

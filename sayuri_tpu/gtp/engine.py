@@ -111,6 +111,9 @@ class Agent:
         self.history: list[GoState] = []
         self.moves: list[tuple[int, int]] = []  # (color, vertex)
         self._jit_cache = {}
+        # territory-rule dead-stone map from the last area playout
+        # (GameState::territory_helper_, game_state.h:211)
+        self._territory_helper = None
         self._drop_tree()
 
     def _drop_tree(self):
@@ -132,6 +135,7 @@ class Agent:
         )
         self.history = []
         self.moves = []
+        self._territory_helper = None
         self._drop_tree()
 
     def set_boardsize(self, size: int):
@@ -444,6 +448,149 @@ class Agent:
         self.play(color, best)
         return best, tree
 
+    # -- in-process self-play probes (gtp.cc:334-372) -------------------
+
+    def _selfplay_actor(self):
+        """One-lane SelfplayActor with exploration on, for the
+        selfplay-genmove / selfplay GTP probes (gtp.cc:334-355)."""
+        from sayuri_tpu.selfplay.actor import SelfplayActor, SelfplayConfig
+
+        actor = getattr(self, "_sp_actor", None)
+        if actor is None:
+            actor = SelfplayActor(
+                self.env,
+                self.mcts,
+                SelfplayConfig(
+                    playouts=self.playouts,
+                    fastsearch_playouts=max(1, self.playouts // 3),
+                ),
+                reuse_tree=False,
+            )
+            self._sp_actor = actor
+            self._sp_records = []
+            self._sp_lost = jnp.zeros((1,), bool)
+        return actor
+
+    def selfplay_move(self, color: int):
+        """One self-play-policy move from the current position, recorded
+        into the training buffer (GetSelfPlayMove + PlayMove,
+        gtp.cc:334-347). Returns the vertex played."""
+        actor = self._selfplay_actor()
+        if int(self.state.to_move[0]) != color:
+            self.state = self.state.replace(
+                to_move=jnp.full_like(self.state.to_move, color)
+            )
+        self._rng, sub = jax.random.split(self._rng)
+        new_states, record, self._sp_lost, _, move = actor._move_step(
+            self.state, sub, self._sp_lost
+        )
+        self._sp_records.append(jax.tree.map(np.asarray, record))
+        v = int(np.asarray(move)[0])
+        self.history.append(self.state)
+        self.state = new_states
+        self.moves.append((color, v))
+        self._drop_tree()
+        if bool(np.asarray(self.state.terminated)[0]):
+            self.update_territory_helper()
+        return v
+
+    def game_over(self) -> bool:
+        return bool(np.asarray(self.state.terminated)[0])
+
+    def dump_training_buffer(self, filename: str):
+        """Serialize the self-play buffer to a training-data text file
+        (Search::SaveTrainingBuffer, search.cc:1124-1137)."""
+        from sayuri_tpu.selfplay.actor import assemble_targets
+        from sayuri_tpu.selfplay import data as D
+
+        records = getattr(self, "_sp_records", [])
+        if not records:
+            raise ValueError("training buffer is empty")
+        helper = None
+        if self._territory_helper is not None:
+            helper = jnp.asarray(self._territory_helper)[None]
+        targets = assemble_targets(
+            self.env, self.state, records, territory_helper=helper
+        )
+        games = D.games_to_text(self.env, records, targets)
+        with open(filename, "w") as f:
+            for game in games:
+                for pos in game:
+                    f.write(pos)
+
+    def clear_training_buffer(self):
+        self._sp_records = []
+        self._sp_lost = jnp.zeros((1,), bool)
+
+    def gen_openings(self, num_sgfs: int, opening_moves: int,
+                     max_attempts: int | None = None):
+        """Generate fair random openings (gtp.cc:682-743): policy-sampled
+        (temperature 1.2) opening sequences kept only when a bounded search
+        rates them within ±0.025 winrate of the empty board's, dedup'd over
+        all 8 symmetry reflections. Returns a list of SGF strings. The
+        agent's game state is reset afterwards."""
+        from sayuri_tpu.game import board as B_
+        from sayuri_tpu.game.sgf import game_to_sgf
+
+        size = self.size
+        saved = (self.state, list(self.history), list(self.moves))
+        out, seen = [], set()
+        legal_fn = self._get_jit(
+            "legal", lambda: jax.jit(jax.vmap(self.env.legal_action_mask))
+        )
+
+        def sym_hashes(stones):
+            hs = []
+            for k in range(4):
+                r = np.rot90(stones, k)
+                for bmat in (r, np.fliplr(r)):
+                    h = np.asarray(
+                        B_.position_hash(jnp.asarray(bmat.copy()), size)
+                    )
+                    hs.append((int(h[0]), int(h[1])))
+            return hs
+
+        self.clear_board()
+        fair_tree, _ = self.think(playouts=min(self.playouts, 400))
+        v0 = max(int(np.asarray(fair_tree.visits[0, 0])), 1)
+        fair_wl_b = float(np.asarray(fair_tree.acc_wl[0, 0])) / v0
+        attempts = 0
+        cap = max_attempts if max_attempts is not None else 20 * max(
+            num_sgfs, 1
+        )
+        while len(out) < num_sgfs and attempts < cap:
+            attempts += 1
+            self.clear_board()
+            moves = []
+            for _ in range(opening_moves):
+                evals = self.eval_fn(self.state, None)
+                pri = np.asarray(evals.priors)[0][: size * size]
+                legal = np.asarray(legal_fn(self.state))[0][: size * size]
+                w = np.where(legal, np.maximum(pri, 1e-12), 0.0)
+                w = w ** (1.0 / 1.2)
+                if w.sum() <= 0:
+                    break
+                v = int(self._np_rng.choice(size * size, p=w / w.sum()))
+                color = self.to_move()
+                self.play(color, v)
+                moves.append((color, v, None))
+            hs = sym_hashes(self.stones())
+            if hs[0] in seen:
+                continue
+            tree, _ = self.think(playouts=min(self.playouts, 400))
+            v1 = max(int(np.asarray(tree.visits[0, 0])), 1)
+            wl_b = float(np.asarray(tree.acc_wl[0, 0])) / v1
+            # compare in the same perspective as the empty-board search
+            # (both searches are black-to-move-aligned via black WL)
+            upper = fair_wl_b + 0.025
+            if wl_b > upper or wl_b < 1.0 - upper:
+                continue
+            seen.update(hs)
+            out.append(game_to_sgf(size, self.komi, moves))
+        self.state, self.history, self.moves = saved
+        self._drop_tree()
+        return out
+
     # -- post-search move hygiene (search.cc:640-861) -------------------
 
     def _hygiene_maps(self):
@@ -637,15 +784,49 @@ class Agent:
         )(self.state)
         return np.asarray(own)[0]
 
+    def update_territory_helper(self):
+        """Label dead stones for territory scoring by playing the position
+        out under the area rule with fast no-exploring searches
+        (Search::UpdateTerritoryHelper, search.cc:1139-1162). Stores the
+        end position's score-area ownership as the helper."""
+        from sayuri_tpu.selfplay.actor import SelfplayActor, SelfplayConfig
+
+        if self.rule != TERRITORY_RULE:
+            self._territory_helper = None
+            return
+        actor = getattr(self, "_playout_actor", None)
+        if actor is None:
+            actor = SelfplayActor(
+                self.env,
+                self.mcts,
+                SelfplayConfig(
+                    playouts=max(1, min(self.playouts, 100)),
+                    fastsearch_playouts=0,
+                ),
+                reuse_tree=False,
+            )
+            self._playout_actor = actor
+        self._rng, sub = jax.random.split(self._rng)
+        helper = actor.territory_playout(self.state, sub)
+        self._territory_helper = np.asarray(helper)[0]
+
     def final_score_str(self) -> str:
-        score = float(
-            np.asarray(
-                self._get_jit(
-                    "final_score",
-                    lambda: jax.jit(jax.vmap(self.env.final_score)),
-                )(self.state)
-            )[0]
-        )
+        if self.rule == TERRITORY_RULE and self._territory_helper is not None:
+            fn = self._get_jit(
+                "final_score_helper",
+                lambda: jax.jit(jax.vmap(self.env.final_score_with_helper)),
+            )
+            helper = jnp.asarray(self._territory_helper)[None]
+            score = float(np.asarray(fn(self.state, helper))[0])
+        else:
+            score = float(
+                np.asarray(
+                    self._get_jit(
+                        "final_score",
+                        lambda: jax.jit(jax.vmap(self.env.final_score)),
+                    )(self.state)
+                )[0]
+            )
         if abs(score) < 1e-4:
             return "0"
         if score > 0:

@@ -32,7 +32,9 @@ KNOWN_COMMANDS = [
     "gogui-rules_board", "gogui-rules_board_size",
     "gogui-rules_legal_moves", "gogui-rules_side_to_move",
     "gogui-rules_final_result", "gogui-policy_heatmap",
-    "gogui-ownership_heatmap", "selfplay-genmove",
+    "gogui-ownership_heatmap", "selfplay-genmove", "selfplay",
+    "dump_training_buffer", "clear_training_buffer", "genpatterns",
+    "genopenings",
 ]
 
 _HANDICAP_9 = {  # standard star points for fixed_handicap on odd boards
@@ -561,15 +563,76 @@ class GtpLoop:
         return True, "\n".join(rows)
 
     def _cmd_selfplay_genmove(self, args):
-        """Self-play-policy move (exploration settings on): the reference's
-        in-process selfplay probe (gtp.cc:334-347)."""
+        """Self-play-policy move recorded into the training buffer: the
+        reference's in-process selfplay probe (gtp.cc:334-347)."""
         color = _color_arg(args[0]) if args else self.agent.to_move()
-        move, tree = self.agent.genmove(color)
-        if move == "resign":
-            return True, "resign"
+        move = self.agent.selfplay_move(color)
         return True, vertex_to_gtp(
             move if move < self.agent.size**2 else None, self.agent.size
         )
+
+    def _cmd_selfplay(self, args):
+        """Play the rest of the game with the self-play policy, then label
+        dead stones for territory scoring (gtp.cc:349-355)."""
+        guard = 2 * self.agent.size**2 + 32
+        while not self.agent.game_over() and guard > 0:
+            self.agent.selfplay_move(self.agent.to_move())
+            guard -= 1
+        return True, ""
+
+    def _cmd_dump_training_buffer(self, args):
+        # (gtp.cc:356-371)
+        if not self.agent.game_over():
+            return False, "it is not game over yet"
+        if not args:
+            return False, "invalid file name"
+        try:
+            self.agent.dump_training_buffer(args[0])
+        except ValueError as e:
+            return False, str(e)
+        return True, ""
+
+    def _cmd_clear_training_buffer(self, args):
+        self.agent.clear_training_buffer()
+        return True, ""
+
+    def _cmd_genpatterns(self, args):
+        """MM-fit spatial/tactical gammas from SGFs
+        (gtp.cc:660-681, MmTrainer::Run)."""
+        if len(args) < 2:
+            return False, "file name is empty"
+        from pathlib import Path
+
+        from sayuri_tpu.pattern.gammas import train_from_sgfs
+
+        src = Path(args[0])
+        paths = (
+            sorted(src.rglob("*.sgf")) if src.is_dir() else [src]
+        )
+        min_count = int(args[2]) if len(args) > 2 else 0
+        gammas = train_from_sgfs(paths, min_count=min_count)
+        gammas.save(args[1])
+        return True, f"{len(gammas)} gammas"
+
+    def _cmd_genopenings(self, args):
+        """Generate fair random openings as SGFs (gtp.cc:682-743):
+        policy-sampled opening moves, kept only when a bounded search
+        judges the resulting position within ±0.05 winrate of the empty
+        board's, deduplicated by symmetry hash."""
+        if not args:
+            return False, "directory name is empty"
+        from pathlib import Path
+
+        save_dir = Path(args[0])
+        save_dir.mkdir(parents=True, exist_ok=True)
+        num_sgfs = int(args[1]) if len(args) > 1 else 0
+        opening_moves = (
+            int(args[2]) if len(args) > 2 else self.agent.size // 2
+        )
+        names = self.agent.gen_openings(num_sgfs, opening_moves)
+        for i, sgf_text in enumerate(names):
+            (save_dir / f"{i}.sgf").write_text(sgf_text)
+        return True, f"{len(names)} openings"
 
     def _cmd_genbook(self, args):
         # genbook <sgf_dir> <out_file> (gtp.cc:643-660)

@@ -21,6 +21,9 @@ class GammasDict:
         self.table = table or {}
         self.dist = dist
 
+    def __len__(self):
+        return len(self.table)
+
     def save(self, path):
         Path(path).write_text(
             json.dumps({"dist": self.dist, "gammas": self.table})
@@ -56,10 +59,13 @@ class GammasDict:
 
 
 def train_from_sgfs(sgf_paths, dist: int = 3, max_games: int | None = None,
-                    mm_iterations: int = 30, verbose=False) -> GammasDict:
+                    mm_iterations: int = 30, verbose=False,
+                    min_count: int = 0) -> GammasDict:
     """Collect (chosen move vs candidates) competitions from SGF games and
     fit gammas (MmTrainer::Run semantics, mm_trainer.cc). Candidates are
-    all legal moves; features = canonical spatial pattern + tacticals."""
+    all legal moves; features = canonical spatial pattern + tacticals.
+    `min_count` drops spatial patterns seen fewer times as a WINNER
+    (MmTrainer's min-count filter, mm_trainer.cc:73-90)."""
     import jax
 
     from sayuri_tpu.game import sgf as SGF
@@ -113,5 +119,15 @@ def train_from_sgfs(sgf_paths, dist: int = 3, max_games: int | None = None,
             break
     if verbose:
         print(f"patterns: {n_games} games, {len(competitions)} competitions")
+    if min_count > 0:
+        winner_counts: dict[str, int] = {}
+        for widx, teams in competitions:
+            for f in teams[widx]:
+                winner_counts[f] = winner_counts.get(f, 0) + 1
+        competitions = [
+            (widx, teams)
+            for widx, teams in competitions
+            if all(winner_counts.get(f, 0) >= min_count for f in teams[widx])
+        ]
     gammas = fit_mm(competitions, iterations=mm_iterations, verbose=verbose)
     return GammasDict({str(k): v for k, v in gammas.items()}, dist)

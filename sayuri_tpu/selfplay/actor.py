@@ -93,6 +93,7 @@ class SelfplayActor:
         self.last_query_stats = None
         self._move_step = jax.jit(self._move_step_impl)
         self._move_step_reuse = jax.jit(self._move_step_impl)
+        self._playout_step = jax.jit(self._playout_step_impl)
 
     # ------------------------------------------------------------------
 
@@ -394,6 +395,83 @@ class SelfplayActor:
         return new_states, record, new_lost, tree, move
 
     # ------------------------------------------------------------------
+    # territory-rule dead-stone labeling (UpdateTerritoryHelper,
+    # search.cc:1139-1162)
+    # ------------------------------------------------------------------
+
+    def _playout_step_impl(self, states, rng):
+        """One fast no-exploring move for the territory-helper playout
+        (GetSelfPlayMove with kNoExploring | kNoBuffer, search.cc:1154-1156).
+        Forbid-pass keeps lanes capturing dead stones until the position is
+        resolved, then games end by two passes."""
+        env, mcts, cfg = self.env, self.mcts, self.cfg
+        b = states.stones.shape[0]
+        superko = jax.vmap(env.superko_action_mask)(states)
+        from sayuri_tpu.game import ladder as L
+
+        ctx = {
+            "ladders": L.ladder_planes_batch(
+                states.stones, states.size, states.ko
+            )
+        }
+        off = jnp.zeros((b,), bool)
+        tree = mcts.init_tree(
+            states, rng, use_noise=off, use_gumbel=off,
+            prior_mask=~superko, ctx=ctx,
+        )
+        playouts = (
+            cfg.fastsearch_playouts
+            if 0 < cfg.fastsearch_playouts < cfg.playouts
+            else cfg.playouts
+        )
+        tree = mcts.run(tree, playouts, ctx=ctx)
+        forbid = self._forbid_pass(states, tree, tree.root_ownership)
+        move = mcts.best_move(tree, allow_pass=~forbid)
+        new_states, _ = env.step_batch_with_analysis(states, move)
+        return new_states
+
+    def territory_playout(self, final_states: GoState, rng,
+                          max_steps: int | None = None):
+        """[B, n, n] territory-helper ownership for a finished batch.
+
+        For territory-rule lanes: resume the ended game (the two ending
+        passes are undone — board and to-move are unchanged by an even
+        number of passes), switch it to area scoring with the
+        score-preserving komi offset (GetPenaltyOffset, game_state.cc:711),
+        play it out with fast no-exploring searches until every dead string
+        is captured, and return the end position's score-area ownership
+        (Search::UpdateTerritoryHelper, search.cc:1139-1162). Area-rule
+        lanes stay frozen and their helper slots are unused."""
+        env = self.env
+        from sayuri_tpu.game import analysis as A
+        from sayuri_tpu.game.types import TERRITORY_RULE
+
+        is_terr = np.asarray(final_states.rule) == TERRITORY_RULE
+        if not is_terr.any():
+            return jax.vmap(A.score_area_ownership)(
+                final_states.stones, final_states.size
+            )
+        if max_steps is None:
+            max_steps = env.n * env.n
+
+        terr = jnp.asarray(is_terr)
+        offset = jax.vmap(env.penalty_offset_to_area)(final_states)
+        states = final_states.replace(
+            # area lanes stay terminated (step() freezes them)
+            terminated=jnp.where(terr, False, final_states.terminated),
+            pass_count=jnp.where(terr, 0, final_states.pass_count),
+            rule=jnp.where(terr, AREA_RULE, final_states.rule),
+            komi=jnp.where(terr, final_states.komi + offset,
+                           final_states.komi),
+        )
+        for _ in range(max_steps):
+            rng, sub = jax.random.split(rng)
+            states = self._playout_step(states, sub)
+            if bool(states.terminated.all()):
+                break
+        return jax.vmap(A.score_area_ownership)(states.stones, states.size)
+
+    # ------------------------------------------------------------------
 
     def play_games(self, states: GoState, rng, max_moves: int | None = None):
         """Play all B games to completion (or the move cap); returns
@@ -462,12 +540,17 @@ class SelfplayActor:
 # post-game target assembly (GatherTrainingBuffer, search.cc:1169-1309)
 # ----------------------------------------------------------------------
 
-def assemble_targets(env: GoEnv, final_states: GoState, records):
+def assemble_targets(env: GoEnv, final_states: GoState, records,
+                     territory_helper=None):
     """Compute game-outcome training targets for a finished batch.
 
     Returns a dict of [T, B, ...] arrays aligned with `records`:
     result (stm ±1/0), final_score (stm), ownership (stm ±1/0 flat),
     avg/short/middle/long q & score, aux_policy.
+
+    `territory_helper` ([B, n, n] {-1,0,+1} from
+    SelfplayActor.territory_playout) marks dead stones for territory-rule
+    lanes (search.cc:1139-1162); without it those lanes are scored as-is.
     """
     T = len(records)
     b = final_states.stones.shape[0]
@@ -479,8 +562,14 @@ def assemble_targets(env: GoEnv, final_states: GoState, records):
     score = jnp.stack([r.score_lead for r in records])            # [T, B] stm
     active = jnp.stack([r.active for r in records])               # [T, B]
 
-    # winner from the final position (area scoring with pass-alive override)
-    black_final = jax.vmap(env.final_score)(final_states)          # [B]
+    # winner from the final position (area scoring with pass-alive override;
+    # territory lanes first drop helper-marked dead strings)
+    if territory_helper is not None:
+        black_final = jax.vmap(env.final_score_with_helper)(
+            final_states, territory_helper
+        )
+    else:
+        black_final = jax.vmap(env.final_score)(final_states)      # [B]
     winner = jnp.where(
         jnp.abs(black_final) < 1e-4, 0, jnp.where(black_final > 0, 1, -1)
     )  # 0 draw, 1 black, -1 white
@@ -495,7 +584,12 @@ def assemble_targets(env: GoEnv, final_states: GoState, records):
         winner[None] == 0, 0.0, sign_stm * black_final[None]
     )
 
-    own_black = jax.vmap(env.ownership)(final_states).reshape(b, hw)
+    if territory_helper is not None:
+        own_black = jax.vmap(env.ownership_with_helper)(
+            final_states, territory_helper
+        ).reshape(b, hw)
+    else:
+        own_black = jax.vmap(env.ownership)(final_states).reshape(b, hw)
     ownership_stm = own_black[None] * sign_stm[..., None]          # [T,B,HW]
 
     # per-game buffer length: rows with active=False are past the game end

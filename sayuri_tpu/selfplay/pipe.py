@@ -168,7 +168,13 @@ class SelfPlayPipe:
         self.rng, sub, sub2 = jax.random.split(self.rng, 3)
         states = self.randomizer.prepare(self.parallel_games, sub2)
         final, records = self.actor.play_games(states, sub)
-        targets = assemble_targets(self.env, final, records)
+        # territory-rule lanes: label dead stones by area-rule playout
+        # before scoring (UpdateTerritoryHelper, search.cc:1139-1162)
+        self.rng, sub3 = jax.random.split(self.rng)
+        helper = self.actor.territory_playout(final, sub3)
+        targets = assemble_targets(
+            self.env, final, records, territory_helper=helper
+        )
         if jax.process_count() > 1:
             # every host serializes only the lanes it owns
             from sayuri_tpu.parallel import distributed as DI
