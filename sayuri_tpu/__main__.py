@@ -20,6 +20,8 @@ def run_gtp(opts: Options):
         komi=opts.get("komi"),
         playouts=opts.get("playouts"),
         search_cfg=opts.search_config(),
+        patterns_file=opts.get("patterns_file") or None,
+        gammas_policy_factor=opts.get("gammas_policy_factor"),
     )
     wf = opts.get("weights_file")
     if wf:

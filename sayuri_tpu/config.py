@@ -43,6 +43,9 @@ OPTIONS: dict[str, Opt] = {
     # in MiB, --cache-memory-mib, network.cc:102-121; here the unit is
     # entries because the store is dense device arrays). 0 disables.
     "nn_cache_size": Opt(512, 0, 1 << 20),
+    # legacy pattern system (config.cc:55,77)
+    "patterns_file": Opt(""),
+    "gammas_policy_factor": Opt(0.0, 0.0, 1.0),
     # search knobs (parameters.h:14-84)
     "cpuct_init": Opt(0.5),
     "cpuct_base": Opt(19652.0),

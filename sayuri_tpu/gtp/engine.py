@@ -66,6 +66,8 @@ class Agent:
         chunk: int = 16,
         friendly_pass: bool = False,
         capture_all_dead: bool = False,
+        patterns_file: str | None = None,
+        gammas_policy_factor: float = 0.0,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -88,6 +90,14 @@ class Agent:
         # config.cc:29,34)
         self.friendly_pass = friendly_pass
         self.capture_all_dead = capture_all_dead
+        # legacy pattern-gammas policy mixing for dynamic strength
+        # (--patterns + gammas_policy_factor, node.cc:151-160)
+        self.gammas = None
+        if patterns_file:
+            from sayuri_tpu.pattern.gammas import GammasDict
+
+            self.gammas = GammasDict.load(patterns_file)
+        self.gammas_policy_factor = float(gammas_policy_factor)
         self._np_rng = np.random.RandomState(seed)
         self._build(boardsize, komi)
 
@@ -294,10 +304,46 @@ class Agent:
         else:
             tree, ctx = self._init_fn()(self.state, sub, mask)
             self._last_reused = False
+        tree = self._mix_gammas_policy(tree)
         self._tree = tree
         self._ctx = ctx
         self._tree_moves = len(self.moves)
         return tree, ctx
+
+    def _mix_gammas_policy(self, tree):
+        """Mix the pattern-gammas policy into the ROOT priors
+        (node.cc:151-160: p = (1-f)*nn + f*(1-pass_prob)*gammas, with the
+        gammas scaled by NN ownership through the Pachi MC-owner table).
+        The reference mixes at every expansion; here the host-side pattern
+        probe runs once per search at the root, where the priors steer the
+        whole search — leaf expansions keep the raw NN policy."""
+        f = self.gammas_policy_factor
+        if self.gammas is None or f <= 0:
+            return tree
+        size = self.size
+        prior = np.asarray(tree.prior[0, 0]).copy()
+        legal = prior > 0
+        own = np.asarray(tree.root_ownership[0])
+        if self.to_move() == 1:
+            own = -own
+        last = self.moves[-1][1] if self.moves else None
+        if last is not None and last >= size * size:
+            last = None
+        gp = self.gammas.policy(
+            self.stones(), size, self.to_move(), legal,
+            last_move=last, ownership=own,
+        )
+        reduction = 1.0 - prior[size * size]
+        mixed = (1.0 - f) * prior
+        mixed[: size * size] += f * reduction * gp[: size * size]
+        mixed[size * size] += f * reduction * gp[size * size]
+        mixed = np.where(legal, mixed, 0.0)
+        s = mixed.sum()
+        if s > 0:
+            mixed /= s
+        return tree.replace(
+            prior=tree.prior.at[:, 0].set(jnp.asarray(mixed)[None])
+        )
 
     def think(
         self,

@@ -483,6 +483,17 @@ class GtpLoop:
             if low not in ("true", "false"):
                 return False, "invalid value"
             self.agent.capture_all_dead = low == "true"
+        elif name == "gammas policy factor":
+            self.agent.gammas_policy_factor = min(1.0, max(0.0, float(value)))
+            self.agent._drop_tree()
+        elif name == "patterns file":
+            from sayuri_tpu.pattern.gammas import GammasDict
+
+            try:
+                self.agent.gammas = GammasDict.load(value)
+            except OSError:
+                return False, "cannot load patterns file"
+            self.agent._drop_tree()
         else:
             return False, "invalid option name"
         return True, ""

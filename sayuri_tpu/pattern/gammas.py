@@ -40,17 +40,31 @@ class GammasDict:
             s *= self.table.get(str(f), 1.0)
         return s
 
+    # Pachi's MC-owner gamma table (GetGammasPolicy, game_state.cc:624-626)
+    MC_OWNER_GAMMAS = (
+        0.130817, 0.67241, 1.0993, 1.22413,
+        1.18569, 1.05496, 0.800636, 0.406365,
+    )
+
     def policy(self, board: np.ndarray, size: int, to_move: int,
-               legal_mask, last_move=None) -> np.ndarray:
+               legal_mask, last_move=None, ownership=None) -> np.ndarray:
         """[size*size + 1] normalized gammas policy
-        (GetGammasPolicy, game_state.cc:620)."""
+        (GetGammasPolicy, game_state.cc:620-640). `ownership` ([size*size]
+        in [-1, 1], to-move perspective) scales each point's gamma by the
+        Pachi MC-owner table. Restricted to legal moves (the reference
+        evaluates every intersection; illegal points only ever receive
+        negligible mass through the softmax)."""
         out = np.zeros(size * size + 1)
         for v in range(size * size):
             if not legal_mask[v]:
                 continue
             feats = [P.pattern_key(board, size, v, to_move, self.dist)]
             feats += P.tactical_features(board, size, v, to_move, last_move)
-            out[v] = self.team_strength(feats)
+            g = self.team_strength(feats)
+            if ownership is not None:
+                owner = (float(ownership[v]) + 1.0) / 2.0
+                g *= self.MC_OWNER_GAMMAS[min(7, int(owner * 8))]
+            out[v] = g
         total = out.sum()
         if total <= 0:
             out[: size * size] = np.asarray(legal_mask[: size * size], float)

@@ -99,3 +99,34 @@ class TestPatterns:
         pol = gd.policy(np.asarray(s.stones), size, 0, legal)
         assert pol.shape == (size * size + 1,)
         np.testing.assert_allclose(pol.sum(), 1.0, atol=1e-6)
+
+
+class TestGammasMixing:
+    def test_factor_changes_root_priors(self, tmp_path):
+        """gammas_policy_factor > 0 mixes the pattern policy into the
+        search's root priors (node.cc:151-160 equivalent)."""
+        size = 5
+        moves = [(0, 12), (1, 6), (0, 8)]
+        paths = [
+            make_sgf_file(tmp_path, f"m{i}.sgf", moves, size=size)
+            for i in range(2)
+        ]
+        gd = train_from_sgfs(paths, dist=2, mm_iterations=5)
+
+        from sayuri_tpu.gtp.engine import Agent
+
+        agent = Agent(boardsize=size, komi=4.5, playouts=4, max_nodes=12)
+        agent.gammas = gd
+        agent.gammas_policy_factor = 0.0
+        tree0, _ = agent.think(playouts=2)
+        p0 = np.asarray(tree0.prior[0, 0]).copy()
+
+        agent.gammas_policy_factor = 0.5
+        agent._drop_tree()
+        tree1, _ = agent.think(playouts=2)
+        p1 = np.asarray(tree1.prior[0, 0])
+
+        assert not np.allclose(p0, p1)
+        np.testing.assert_allclose(p1.sum(), 1.0, atol=1e-5)
+        # mixing keeps the legal support
+        assert ((p1 > 0) == (p0 > 0)).all()
