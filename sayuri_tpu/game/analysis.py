@@ -204,10 +204,199 @@ def safe_and_ownership(stones, size):
     return pa_b | pa_w, own
 
 
-def safe_area(stones, size):
+def safe_area(stones, size, mark_seki: bool = False):
     """[n, n] bool: pass-alive/pass-dead area of either color
-    (Board::ComputeSafeArea(result, mark_seki=false), board.cc:1706-1718)."""
-    return pass_alive_area(stones, size, 0) | pass_alive_area(stones, size, 1)
+    (Board::ComputeSafeArea(result, mark_seki), board.cc:1706-1718).
+    With mark_seki, seki points are added (ComputeSekiPoints,
+    board.cc:1693-1704)."""
+    out = pass_alive_area(stones, size, 0) | pass_alive_area(stones, size, 1)
+    if mark_seki:
+        out = out | seki_points(stones, size)
+    return out
+
+
+def _unique_neighbor_label(lbl, at_mask):
+    """Per cell: the label of adjacent `lbl` chains, or -1 if zero or
+    more than one DISTINCT adjacent chain. Only meaningful where at_mask."""
+    nbr = B._neighbor_labels(lbl)                   # [4, n, n]
+    present = nbr >= 0
+    mn = jnp.min(jnp.where(present, nbr, jnp.iinfo(jnp.int32).max), axis=0)
+    mx = jnp.max(jnp.where(present, nbr, -1), axis=0)
+    one = (mx >= 0) & (mn == mx)
+    return jnp.where(at_mask & one, mx, -1), (mx >= 0) & (mn != mx)
+
+
+def _chain_liberty_minmax(lbl, empty, nn):
+    """(min, max) flat index of each chain's liberty cells, keyed by chain
+    root. With exactly two liberties this IS the liberty set."""
+    nbr = B._neighbor_labels(lbl)                   # chains adjacent to cells
+    nbr = jnp.where(empty[None], nbr, -1)           # liberties only
+    n = lbl.shape[-1]
+    cell = B.flat_iota(n)[None].repeat(4, 0)
+    lmin = jnp.full((nn + 1,), nn, jnp.int32)
+    lmax = jnp.full((nn + 1,), -1, jnp.int32)
+    for d in range(4):
+        idx = jnp.where(nbr[d] >= 0, nbr[d], nn).reshape(-1)
+        c = cell[d].reshape(-1)
+        lmin = lmin.at[idx].min(c, mode="drop")
+        lmax = lmax.at[idx].max(c, mode="drop")
+    return lmin[:nn], lmax[:nn]
+
+
+def seki_points(stones, size):
+    """[n, n] bool seki map (Board::IsSeki, board.cc:961-1072 +
+    IsKillableSekiEyeShape board.cc:1090-1267), fully vectorized.
+
+    An empty point v is seki iff:
+      - exactly one black and one white chain are orthogonally adjacent,
+      - both chains have exactly 2 liberties,
+      - and either the chains do NOT share both liberties (3-liberty union:
+        treated as seki, false-seki included, board.cc:1007-1019), or no
+        chain is an "inner" chain (simple no-eye seki), or the inner
+        chain + v forms an eye space the surrounder cannot kill by nakade
+        (bent-four-in-corner / squared-four / bulky-five / rabbitty-six /
+        rectangular-six-in-corner are killable, board.cc:1153-1263).
+    """
+    import jax
+
+    n = stones.shape[-1]
+    nn = n * n
+    mask = B.board_mask(size, n)
+    empty = (stones == EMPTY) & mask
+    black = (stones == 1) & mask
+    white = (stones == 2) & mask
+    lbl_b = B.chain_labels(black)
+    lbl_w = B.chain_labels(white)
+
+    # one adjacent chain of each color (board.cc:966-986)
+    ub, multi_b = _unique_neighbor_label(lbl_b, empty)
+    uw, multi_w = _unique_neighbor_label(lbl_w, empty)
+    cand = empty & (ub >= 0) & (uw >= 0) & ~multi_b & ~multi_w
+
+    # both chains must have exactly two liberties (board.cc:988-999)
+    libs_b = B.chain_liberty_counts(lbl_b, empty)
+    libs_w = B.chain_liberty_counts(lbl_w, empty)
+    ub_s = jnp.clip(ub, 0, nn - 1)
+    uw_s = jnp.clip(uw, 0, nn - 1)
+    cand = cand & (libs_b[ub_s] == 2) & (libs_w[uw_s] == 2)
+
+    # liberty-union size: each chain's 2-liberty set as (min, max) flat idx
+    bmin, bmax = _chain_liberty_minmax(lbl_b, empty, nn)
+    wmin, wmax = _chain_liberty_minmax(lbl_w, empty, nn)
+    shared_both = (bmin[ub_s] == wmin[uw_s]) & (bmax[ub_s] == wmax[uw_s])
+    seki = cand & ~shared_both                       # 3-liberty union
+
+    # inner chain: surrounded by exactly one opponent chain
+    # (FindStringSurround counts distinct opponent strings, board.cc:1022-1029)
+    def _sur_minmax(lbl_own, lbl_opp):
+        nbr = B._neighbor_labels(lbl_opp)            # opp chains at each cell
+        own_cell = lbl_own >= 0
+        mn = jnp.full((nn + 1,), nn, jnp.int32)
+        mx = jnp.full((nn + 1,), -1, jnp.int32)
+        for d in range(4):
+            val = jnp.where(own_cell & (nbr[d] >= 0), nbr[d], -1)
+            idx = jnp.where(val >= 0, jnp.clip(lbl_own, 0, None), nn)
+            mn = mn.at[idx.reshape(-1)].min(
+                jnp.where(val >= 0, val, nn).reshape(-1), mode="drop"
+            )
+            mx = mx.at[idx.reshape(-1)].max(val.reshape(-1), mode="drop")
+        return mn[:nn], mx[:nn]
+
+    bsmin, bsmax = _sur_minmax(lbl_b, lbl_w)
+    wsmin, wsmax = _sur_minmax(lbl_w, lbl_b)
+    one_sur_b = (bsmax[ub_s] >= 0) & (bsmin[ub_s] == bsmax[ub_s])
+    one_sur_w = (wsmax[uw_s] >= 0) & (wsmin[uw_s] == wsmax[uw_s])
+    # reference checks black first (board.cc:1021-1026)
+    inner_is_b = one_sur_b
+    inner_is_w = ~one_sur_b & one_sur_w
+    no_inner = ~one_sur_b & ~one_sur_w
+    seki = seki | (cand & shared_both & no_inner)    # simple no-eye seki
+
+    # eye-space nakade analysis for the remaining candidates
+    csize_b = _scatter_add(black, lbl_b, nn)
+    csize_w = _scatter_add(white, lbl_w, nn)
+    need = cand & shared_both & ~no_inner
+    inner_lbl = jnp.where(inner_is_b, ub, uw)
+    eye_size = jnp.where(
+        inner_is_b, csize_b[ub_s], csize_w[uw_s]
+    ) + 1
+    border = mask & ~(
+        B.shift(mask, 1, 0, False)
+        & B.shift(mask, -1, 0, False)
+        & B.shift(mask, 0, 1, False)
+        & B.shift(mask, 0, -1, False)
+    )
+
+    flat = B.flat_iota(n)
+
+    def _killable(v_flat, lbl_v, is_b, esize):
+        """IsKillableSekiEyeShape for one candidate (bounded 4..6 sizes)."""
+        lblmap = jnp.where(is_b, lbl_b, lbl_w)
+        region = (lblmap == lbl_v) & (lbl_v >= 0)
+        region = region | (flat == v_flat)
+        # orthogonal / diagonal region-neighbor counts per cell
+        s_orth = (
+            B.shift(region, 1, 0, False).astype(jnp.int32)
+            + B.shift(region, -1, 0, False)
+            + B.shift(region, 0, 1, False)
+            + B.shift(region, 0, -1, False)
+        )
+        d1, d2, d3, d4 = _diag_shifts(region)
+        s_diag = (
+            d1.astype(jnp.int32) + d2 + d3 + d4
+        )
+        influence = s_orth + s_diag
+        boundary_cnt = jnp.sum(region & border)
+        nakade = region & (influence + 1 == esize) & (s_diag >= 1)
+        nakade_cnt = jnp.sum(nakade)
+        # representative nakade (the reference reads potential_eyes[0]; any
+        # representative is equivalent in the shapes that reach these
+        # branches, e.g. all four cells of a squared four are nakade with
+        # identical eye counts) — use the min-flat-index one
+        rep_flat = jnp.min(jnp.where(nakade, flat, nn))
+        rep = nakade & (flat == rep_flat)
+        eye_cnt = jnp.sum(jnp.where(rep, s_diag, 0))
+        side_of_eye = jnp.sum(
+            jnp.where(
+                rep,
+                d1 * B.shift(s_orth, 1, 1, 0)
+                + d2 * B.shift(s_orth, 1, -1, 0)
+                + d3 * B.shift(s_orth, -1, 1, 0)
+                + d4 * B.shift(s_orth, -1, -1, 0),
+                0,
+            )
+        )
+        sq_kill = (eye_cnt == 1) & (side_of_eye == 2)
+        k4 = (boundary_cnt == 4) | sq_kill           # bent/squared four
+        k5 = sq_kill                                 # bulky five
+        k6 = ((nakade_cnt == 1) & sq_kill) | (
+            (nakade_cnt == 2) & (boundary_cnt == 4)
+        )
+        killable = jnp.where(
+            esize <= 3,
+            True,
+            jnp.where(
+                esize >= 7,
+                False,
+                jnp.where(
+                    nakade_cnt == 0,
+                    False,                           # alive -> not killable
+                    jnp.where(
+                        esize == 4, k4, jnp.where(esize == 5, k5, k6)
+                    ),
+                ),
+            ),
+        )
+        return killable
+
+    killable = jax.vmap(_killable)(
+        flat.reshape(-1),
+        inner_lbl.reshape(-1),
+        inner_is_b.reshape(-1),
+        eye_size.reshape(-1),
+    ).reshape(n, n)
+    seki = seki | (need & ~killable)
+    return seki
 
 
 def score_area_ownership(stones, size):

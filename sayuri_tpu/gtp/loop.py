@@ -32,7 +32,7 @@ KNOWN_COMMANDS = [
     "gogui-rules_board", "gogui-rules_board_size",
     "gogui-rules_legal_moves", "gogui-rules_side_to_move",
     "gogui-rules_final_result", "gogui-policy_heatmap",
-    "gogui-ownership_heatmap", "selfplay-genmove", "selfplay",
+    "gogui-ownership_heatmap", "gogui-seki", "selfplay-genmove", "selfplay",
     "dump_training_buffer", "clear_training_buffer", "genpatterns",
     "genopenings",
 ]
@@ -505,6 +505,7 @@ class GtpLoop:
             [
                 "dboard/Policy Heatmap/gogui-policy_heatmap",
                 "dboard/Ownership Heatmap/gogui-ownership_heatmap",
+                "dboard/Seki Points/gogui-seki",
                 "string/Final Result/gogui-rules_final_result",
             ]
         )
@@ -570,6 +571,28 @@ class GtpLoop:
         for y in range(size - 1, -1, -1):
             rows.append(
                 " ".join(f"{own[y * size + x]:+.2f}" for x in range(size))
+            )
+        return True, "\n".join(rows)
+
+    def _cmd_gogui_seki(self, args):
+        """Seki-point dboard (Board::ComputeSekiPoints, board.cc:1693-1704)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sayuri_tpu.game import analysis as A
+
+        size = self.agent.size
+        stones = jnp.asarray(self.agent.stones())
+        seki = np.asarray(
+            jax.jit(A.seki_points)(stones, jnp.int32(size))
+        )
+        rows = []
+        for y in range(size - 1, -1, -1):
+            rows.append(
+                " ".join(
+                    "1" if seki[y, x] else "0" for x in range(size)
+                )
             )
         return True, "\n".join(rows)
 

@@ -73,6 +73,8 @@ class MoveRecord(NamedTuple):
     discard: jnp.ndarray        # [B] bool
     move: jnp.ndarray           # [B] chosen action
     active: jnp.ndarray         # [B] game still running at this move
+    visits: jnp.ndarray         # [B] root children visit total (for the
+    #                             SGF search-stat comment, search.cc:1056)
 
 
 class SelfplayActor:
@@ -390,6 +392,7 @@ class SelfplayActor:
             discard=discard,
             move=move,
             active=active,
+            visits=children_visits.astype(jnp.int32),
         )
         new_states, _ = env.step_batch_with_analysis(states, move)
         return new_states, record, new_lost, tree, move

@@ -197,6 +197,10 @@ class SelfPlayPipe:
         sizes = np.asarray(records[0].states.size)
         komis = np.asarray(records[0].states.komi)
         n = self.env.n
+        fast_p = self.actor.cfg.fastsearch_playouts
+        full_p = self.actor.cfg.playouts
+        if not (0 < fast_p < full_p):
+            fast_p = full_p
         for i in range(self.parallel_games):
             size = int(sizes[i])
             moves = []
@@ -210,7 +214,22 @@ class SelfPlayPipe:
                     # buffer-flat index -> board-flat index for this size
                     y, x = divmod(mv, n)
                     v = y * size + x if (y < size and x < size) else None
-                moves.append((color, v))
+                # per-move search-stat comment, black's viewpoint
+                # (search.cc:1046-1062: "playouts, visits, eval, score,
+                # kld, T|F" with F = fast-search position, discarded)
+                discard = bool(np.asarray(rec.discard)[i])
+                ev = float(np.asarray(rec.q_value)[i])
+                sc = float(np.asarray(rec.score_lead)[i])
+                if color == 1:  # white to move: flip stm -> black view
+                    ev, sc = 1.0 - ev, -sc
+                comment = "%d, %d, %.2f, %.2f, %.2f, %c" % (
+                    fast_p if discard else full_p,
+                    int(np.asarray(rec.visits)[i]),
+                    ev, sc,
+                    float(np.asarray(rec.kld)[i]),
+                    "F" if discard else "T",
+                )
+                moves.append((color, v, comment))
             result = {1: "B+R", -1: "W+R", 0: "0"}[int(winner[i])]
             text = SGF.game_to_sgf(
                 size, float(komis[i]), moves, result=result
