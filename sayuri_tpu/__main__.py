@@ -22,6 +22,7 @@ def run_gtp(opts: Options):
         search_cfg=opts.search_config(),
         patterns_file=opts.get("patterns_file") or None,
         gammas_policy_factor=opts.get("gammas_policy_factor"),
+        use_rollout=opts.get("use_rollout"),
     )
     wf = opts.get("weights_file")
     if wf:

@@ -46,6 +46,8 @@ OPTIONS: dict[str, Opt] = {
     # legacy pattern system (config.cc:55,77)
     "patterns_file": Opt(""),
     "gammas_policy_factor": Opt(0.0, 0.0, 1.0),
+    # MC-rollout ownership fallback (config.cc:88, rollout.h)
+    "use_rollout": Opt(False),
     # search knobs (parameters.h:14-84)
     "cpuct_init": Opt(0.5),
     "cpuct_base": Opt(19652.0),

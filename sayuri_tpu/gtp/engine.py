@@ -68,6 +68,7 @@ class Agent:
         capture_all_dead: bool = False,
         patterns_file: str | None = None,
         gammas_policy_factor: float = 0.0,
+        use_rollout: bool = False,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -98,6 +99,9 @@ class Agent:
 
             self.gammas = GammasDict.load(patterns_file)
         self.gammas_policy_factor = float(gammas_policy_factor)
+        # MC-rollout ownership fallback (--use-rollout, rollout.h,
+        # node.cc:342-347)
+        self.use_rollout = use_rollout
         self._np_rng = np.random.RandomState(seed)
         self._build(boardsize, komi)
 
@@ -116,6 +120,10 @@ class Agent:
         else:
             self.eval_fn = make_dummy_eval_fn(self.env)
             self.has_net = False
+        if getattr(self, "use_rollout", False):
+            from sayuri_tpu.mcts.rollout import wrap_eval_with_rollout
+
+            self.eval_fn = wrap_eval_with_rollout(self.env, self.eval_fn)
         self.mcts = MCTS(self.env, self.eval_fn, self.search_cfg)
         self.state = self._single(self.env.new_state(komi=komi, rule=rule))
         self.history: list[GoState] = []
