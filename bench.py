@@ -100,8 +100,17 @@ def main():
         )
         return
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    if len(sys.argv) > 1 and sys.argv[1] == "deep":
+        # deeper-tree variant: the reference's config-2 class budget
+        # (400 visits); playouts on big trees are costlier per playout
+        # than the default 96-playout searches, so report separately
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        playouts = 400
+        metric_suffix = "_deep400"
+    else:
+        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+        playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+        metric_suffix = ""
 
     env = GoEnv(n=19)
     net_cfg = NetConfig(boardsize=19, compute_dtype=jnp.bfloat16)
@@ -146,7 +155,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "mcts_playouts_per_s_19x19_b6c96",
+                "metric": "mcts_playouts_per_s_19x19_b6c96" + metric_suffix,
                 "value": round(rate, 1),
                 "unit": "playouts/s",
                 "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),

@@ -48,6 +48,8 @@ OPTIONS: dict[str, Opt] = {
     "gammas_policy_factor": Opt(0.0, 0.0, 1.0),
     # MC-rollout ownership fallback (config.cc:88, rollout.h)
     "use_rollout": Opt(False),
+    # endgame score bonus (config.cc:120, node.cc:813-869)
+    "first_pass_bonus": Opt(False),
     # search knobs (parameters.h:14-84)
     "cpuct_init": Opt(0.5),
     "cpuct_base": Opt(19652.0),
@@ -176,6 +178,7 @@ class Options:
             dirichlet_init=g("dirichlet_init"),
             dirichlet_factor=g("dirichlet_factor"),
             nn_cache_size=g("nn_cache_size"),
+            first_pass_bonus=g("first_pass_bonus"),
             **over,
         )
 

@@ -243,9 +243,10 @@ def _chain_liberty_minmax(lbl, empty, nn):
     return lmin[:nn], lmax[:nn]
 
 
-def seki_points(stones, size):
-    """[n, n] bool seki map (Board::IsSeki, board.cc:961-1072 +
-    IsKillableSekiEyeShape board.cc:1090-1267), fully vectorized.
+def _seki_parts(stones, size):
+    """Shared core of seki_points / seki_at: everything except the
+    per-candidate nakade analysis (which seki_points vmaps over the whole
+    board and seki_at evaluates at one vertex).
 
     An empty point v is seki iff:
       - exactly one black and one white chain are orthogonally adjacent,
@@ -257,8 +258,6 @@ def seki_points(stones, size):
         (bent-four-in-corner / squared-four / bulky-five / rabbitty-six /
         rectangular-six-in-corner are killable, board.cc:1153-1263).
     """
-    import jax
-
     n = stones.shape[-1]
     nn = n * n
     mask = B.board_mask(size, n)
@@ -389,14 +388,46 @@ def seki_points(stones, size):
         )
         return killable
 
+    return seki, need, inner_lbl, inner_is_b, eye_size, _killable, flat
+
+
+def seki_points(stones, size):
+    """[n, n] bool seki map (Board::IsSeki, board.cc:961-1072 +
+    IsKillableSekiEyeShape board.cc:1090-1267), fully vectorized: the
+    per-candidate nakade pass is vmapped over every intersection."""
+    import jax
+
+    n = stones.shape[-1]
+    seki, need, inner_lbl, inner_is_b, eye_size, _killable, flat = (
+        _seki_parts(stones, size)
+    )
     killable = jax.vmap(_killable)(
         flat.reshape(-1),
         inner_lbl.reshape(-1),
         inner_is_b.reshape(-1),
         eye_size.reshape(-1),
     ).reshape(n, n)
-    seki = seki | (need & ~killable)
-    return seki
+    return seki | (need & ~killable)
+
+
+def seki_at(stones, size, v_flat):
+    """Scalar bool: IsSeki at one flat vertex (board.cc:961) — the cheap
+    single-point probe the search's score-bonus path needs
+    (node.cc:813-831): only one nakade analysis instead of n*n."""
+    n = stones.shape[-1]
+    seki, need, inner_lbl, inner_is_b, eye_size, _killable, flat = (
+        _seki_parts(stones, size)
+    )
+    v = jnp.clip(v_flat, 0, n * n - 1)
+    f = seki.reshape(-1)[v]
+    nd = need.reshape(-1)[v]
+    killable = _killable(
+        v,
+        inner_lbl.reshape(-1)[v],
+        inner_is_b.reshape(-1)[v],
+        eye_size.reshape(-1)[v],
+    )
+    return f | (nd & ~killable)
 
 
 def score_area_ownership(stones, size):

@@ -98,6 +98,10 @@ class SearchConfig:
     # 0 disables. Hit/frozen/terminal lanes are compacted out of the
     # forward (see mcts/nncache.py).
     nn_cache_size: int = 0
+    # endgame score bonus encouraging pass/seki resolution under area
+    # scoring and dame-filling under territory (--first-pass-bonus,
+    # config.cc:120, node.cc:813-869); off by default like the reference
+    first_pass_bonus: bool = False
 
 
 @struct.dataclass
@@ -127,6 +131,10 @@ class Tree:
     net_score: jnp.ndarray       # f32 raw NN score (black)
     terminal: jnp.ndarray        # bool
     valid: jnp.ndarray           # bool (root superko purge clears these)
+    # first-pass-bonus score offset of the move leading to the node
+    # (black perspective, Node::black_sb_, node.cc:813-869); all-zero
+    # unless cfg.first_pass_bonus
+    black_sb: jnp.ndarray        # f32 [B, N]
 
     # ---- read-compatibility views over the packed stats ----
     @property
@@ -356,6 +364,7 @@ class MCTS:
                 root_states.terminated
             ),
             valid=zeros((b, n_nodes), bool).at[:, 0].set(True),
+            black_sb=zeros((b, n_nodes)),
             states=states,
             next_free=jnp.ones((b,), jnp.int32),
             root_noise=noise,
@@ -372,6 +381,54 @@ class MCTS:
             cache=cache,
         )
         return tree
+
+    def _score_bonus(self, parent_states, action, root_own):
+        """[B] black-perspective score bonus of playing `action` from
+        `parent_states` (Node::ComputeScoreBonus, node.cc:813-869).
+
+        Deviation: the ownership test uses the tree's running root
+        ownership average instead of the parent node's stored NN ownership
+        (the array tree does not keep a [B, N, HW] per-node ownership;
+        the root average is the same estimator the reference exposes for
+        move selection, node.cc:724-733)."""
+        from sayuri_tpu.game import analysis as A
+        from sayuri_tpu.game.types import AREA_RULE
+
+        n = self.env.n
+        nn = n * n
+        b = action.shape[0]
+        b_idx = jnp.arange(b)
+        thr, tail, end_bonus = 0.8, 0.2, 0.5
+        color = parent_states.to_move                    # mover
+        is_pass = action >= nn
+        v = jnp.clip(action, 0, nn - 1)
+        own_at = root_own[b_idx, v]                      # black view
+
+        seki = jax.vmap(A.seki_at)(parent_states.stones, parent_states.size, v)
+        opp = 2 - color                                  # opp stone value
+        st = parent_states.stones.reshape(b, nn)
+        def nbr(dy, dx):
+            y, x = v // n + dy, v % n + dx
+            ok = (y >= 0) & (y < n) & (x >= 0) & (x < n)
+            idx = jnp.clip(y * n + x, 0, nn - 1)
+            return ok & (st[b_idx, idx] == opp)
+        nbr_opp = nbr(1, 0) | nbr(-1, 0) | nbr(0, 1) | nbr(0, -1)
+
+        own_sign = jnp.where(color == 0, own_at, -own_at)  # mover view
+        area_pt = seki | ((own_sign > thr) & nbr_opp)
+        area_bonus = jnp.where(is_pass | area_pt, end_bonus, 0.0)
+
+        penal = jnp.maximum(jnp.abs(own_at) - thr, 0.0) / tail
+        terr_bonus = jnp.where(
+            is_pass, -(2.0 / 3.0) * end_bonus, -penal * end_bonus
+        )
+
+        bonus = jnp.where(
+            parent_states.rule == AREA_RULE, area_bonus, terr_bonus
+        )
+        bonus = jnp.where(color == 0, bonus, -bonus)     # black perspective
+        # no bonus while a ko is pending (node.cc:814-817)
+        return jnp.where(parent_states.ko >= 0, 0.0, bonus)
 
     def _score_center(self, tree):
         """Per-search score-utility center: the root's raw NN score (the
@@ -774,6 +831,11 @@ class MCTS:
             ),
             next_free=tree.next_free + can_expand.astype(jnp.int32),
         )
+        if cfg.first_pass_bonus:
+            sb = self._score_bonus(
+                parent_states, leaf_action, tree.root_ownership
+            )
+            tree = tree.replace(black_sb=set_node(tree.black_sb, sb))
 
         # ---- backup: Update() along path + the leaf (node.cc:692-734) ----
         # All path nodes of one simulation are distinct, so the whole
@@ -817,6 +879,11 @@ class MCTS:
         acc_sc2 = old_sc + sc_e
         sqs2 = old[..., 5] + wdelta(sc_e, old_sc, old_v)
         mean2 = acc_sc2 / nv2
+        if cfg.first_pass_bonus:
+            # GetScoreEval adds the node's bonus to the score mean before
+            # the utility transform (node.cc:757-760); fold it into the
+            # cached value here
+            mean2 = mean2 + tree.black_sb[bb, idx_safe]
         var2 = jnp.where(nv2 > 1.0, sqs2 / jnp.maximum(nv2 - 1.0, 1.0), 1.0)
         center = self._score_center(tree)[:, None]
         se_new = (
@@ -942,6 +1009,7 @@ class MCTS:
             net_score=compact(tree.net_score),
             terminal=compact(tree.terminal),
             valid=compact(tree.valid),
+            black_sb=compact(tree.black_sb),
             states=jax.tree.map(
                 lambda x: jnp.zeros_like(x).at[bb, new_id].set(
                     x, mode="drop"

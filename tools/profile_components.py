@@ -52,33 +52,23 @@ def main():
         acts = jnp.asarray(rng.randint(0, n * n, b), jnp.int32)
         states = step(states, acts)
 
-    bench("env.step (vmap)", step, states, jnp.zeros((b,), jnp.int32))
+    # the search's actual hot ops: the FUSED step+analysis launch and the
+    # Pallas ladder-chase kernel (what simulate()/init_tree() call), not
+    # the slow per-component fallbacks
     bench(
-        "legal_action_mask",
-        jax.jit(jax.vmap(env.legal_action_mask)),
+        "env.step_batch_with_analysis (fused)",
+        jax.jit(env.step_batch_with_analysis),
         states,
+        jnp.zeros((b,), jnp.int32),
     )
     bench(
-        "superko_action_mask",
-        jax.jit(jax.vmap(env.superko_action_mask)),
-        states,
-    )
-    bench(
-        "benson safe_area",
-        jax.jit(jax.vmap(lambda s: A.safe_area(s.stones, s.size))),
-        states,
-    )
-    bench(
-        "ladder_planes",
-        jax.jit(jax.vmap(lambda s: L.ladder_planes(s.stones, s.size))),
+        "ladder_planes_batch (root, amortized)",
+        jax.jit(
+            lambda s: L.ladder_planes_batch(s.stones, s.size, s.ko)
+        ),
         states,
     )
     zero_ladders = jnp.zeros((b, n, n, 4))
-    bench(
-        "encode full",
-        jax.jit(jax.vmap(lambda s: encode(env, s))),
-        states,
-    )
     bench(
         "encode no-ladders",
         jax.jit(
@@ -87,6 +77,19 @@ def main():
         states,
         zero_ladders,
     )
+    if "--slow" in sys.argv:
+        bench("env.step (vmap, unfused)", step, states,
+              jnp.zeros((b,), jnp.int32))
+        bench(
+            "legal_action_mask",
+            jax.jit(jax.vmap(env.legal_action_mask)),
+            states,
+        )
+        bench(
+            "benson safe_area",
+            jax.jit(jax.vmap(lambda s: A.safe_area(s.stones, s.size))),
+            states,
+        )
 
     cfg = NetConfig(boardsize=n, compute_dtype=jnp.bfloat16)
     net = SayuriNet(cfg)
@@ -115,6 +118,34 @@ def main():
 
     d = bench("mcts init+16 sims", sims16, states, jax.random.PRNGKey(0))
     print(f"-> playouts/s at batch {b}: {16 * b / d:.0f}")
+
+    # search machinery alone: constant evaluator isolates descent + env
+    # step + expand + backup from encode/forward
+    from sayuri_tpu.mcts.core import NetEvals
+
+    def const_eval(s, ctx=None):
+        bb = s.stones.shape[0]
+        return NetEvals(
+            priors=jnp.full((bb, env.num_actions), 1.0 / env.num_actions),
+            black_wl=jnp.full((bb,), 0.5),
+            draw=jnp.zeros((bb,)),
+            black_score=jnp.zeros((bb,)),
+            black_ownership=jnp.zeros((bb, n * n)),
+        )
+
+    mcts2 = MCTS(env, const_eval, SearchConfig(max_nodes=64, max_depth=32))
+
+    @jax.jit
+    def sims16_noeval(states, rng):
+        tree = mcts2.init_tree(states, rng)
+        return mcts2.run(tree, 16).visits
+
+    d2 = bench(
+        "mcts 16 sims, const eval (machinery)",
+        sims16_noeval, states, jax.random.PRNGKey(0),
+    )
+    per_sim = (d - d2) / 16 * 1000
+    print(f"-> eval cost per simulate: {per_sim:.2f} ms (encode+forward)")
 
 
 if __name__ == "__main__":
