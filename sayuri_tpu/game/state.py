@@ -189,16 +189,43 @@ class GoEnv:
 
         from sayuri_tpu.ops.analysis import step_and_analyze_tpu
 
-        n = self.n
         actions = jnp.asarray(actions, jnp.int32)
         out = step_and_analyze_tpu(
             states.stones, states.size, states.ko, states.to_move, actions
         )
+        return self._merge_kernel_step(states, actions, out), out
+
+    def step_batch_light(self, states: GoState, actions):
+        """Batched step + child legality only (the raw env-stepping hot
+        path: rollouts, env benchmarks, opening randomization). On TPU a
+        LIGHT Pallas launch (3 fixpoints vs ~30 — ops/analysis.py
+        `_step_legal_kernel`); elsewhere vmap(step) + legal mask. Returns
+        (new_states, legal [B, n*n] bool)."""
+        from sayuri_tpu.game import board as B
+
+        if not B._use_pallas():
+            new_states = jax.vmap(self.step)(states, actions)
+            legal = jax.vmap(self.legal_action_mask)(new_states)
+            return new_states, legal[:, : self.n * self.n]
+
+        from sayuri_tpu.ops.analysis import step_and_legal_tpu
+
+        actions = jnp.asarray(actions, jnp.int32)
+        out = step_and_legal_tpu(
+            states.stones, states.size, states.ko, states.to_move, actions
+        )
+        return self._merge_kernel_step(states, actions, out), out["legal"]
+
+    def _merge_kernel_step(self, states: GoState, actions, out) -> GoState:
+        """Fold a step-kernel output dict into the full GoState update
+        (history ring, superko ring, prisoner/pass bookkeeping, freeze of
+        terminated games)."""
+        n = self.n
         is_pass = actions >= self.pass_action
         color = states.to_move
         new_stones = out["new_stones"].astype(jnp.int8)
         new_ko = out["new_ko"]
-        new_hash = jax.vmap(lambda s: B.position_hash(s, n))(new_stones)
+        new_hash = out["new_hash"]  # computed in-kernel (same zobrist keys)
 
         move_v = jnp.where(is_pass, NO_VERTEX, actions)
         new_last = jnp.concatenate(
@@ -246,7 +273,7 @@ class GoEnv:
             stepped,
             states,
         )
-        return new_states, out
+        return new_states
 
     # -- queries -----------------------------------------------------------
 

@@ -13,9 +13,22 @@ ownership):
   need 1..4 exactly, legality needs >=2, atari detection needs ==1)
 - legality (empty + not-ko + not-suicide, Board::IsLegalMove semantics)
 - Tromp-Taylor reach ownership (board.cc:1526-1616)
+- Benson pass-alive/pass-dead + score-area ownership
+- the 2x32-bit Zobrist position hash of the child board (the XLA-side
+  `position_hash` folded into the launch: per-cell key select + a
+  log-fold XOR reduction over lanes)
 
 Everything is elementwise + on-core fixpoints over [C, n*n] flattened
 boards in VMEM (lane-dim shifts only — see ops/flood.py).
+
+Fixpoint economy: the dominant cost of the kernel is not vector work but
+the *scalar* overhead of many small `while_loop` fixpoints (one
+convergence reduction + branch per sweep). Independent propagations are
+therefore STACKED along the sublane axis and solved as one wider
+fixpoint: black+white chain liberties run as a single [2C, nn] problem,
+Benson for both colors as one [2C, nn] problem whose candidate/vital
+sub-fixpoints stack 4 slots x 2 colors into [8C, nn]. Same vector-op
+volume, ~3x fewer loops and convergence checks.
 """
 
 from __future__ import annotations
@@ -29,6 +42,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 128
+# Mosaic's default scoped-vmem budget is 16M; the stacked fixpoints peak
+# slightly above it at chunk 64 (and well above at 128). v5e/v5p VMEM is
+# larger than the default scope, so raise the cap rather than shrink the
+# chunk (None = use default, set below when supported).
+_COMPILER_PARAMS = None
+try:
+    _COMPILER_PARAMS = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
+except Exception:  # older jax without the knob
+    pass
 INTERPRET = False  # tests flip this to run the kernel on CPU
 _BIG = 1e9  # plain python float: jnp constants at module scope leak into kernels
 _NUM_LIBS = 5  # count liberties up to 5 (planes need 1..4 exactly)
@@ -55,49 +79,78 @@ def _nbr_or(m, n):
     return jnp.maximum(jnp.maximum(lf, rt), jnp.maximum(up, dn))
 
 
+def _nbr_sum(m, n):
+    lf, rt, up, dn = _nbrs(m, n, 0.0)
+    return lf + rt + up + dn
+
+
 def _nbr_min(x, n):
     lf, rt, up, dn = _nbrs(x, n, _BIG)
     return jnp.minimum(jnp.minimum(lf, rt), jnp.minimum(up, dn))
 
 
-def _min_prop(values, mask, n):
+def _min_prop(values, mask, n, gates=None, tile=1):
     """Fixpoint: component-wise minimum of `values` over `mask` chains
     (segmented run-min sweeps, ops/prop.py: O(#bends) sweeps of log-shift
-    scans instead of O(diameter) single-cell hops)."""
+    scans instead of O(diameter) single-cell hops). Pass precomputed
+    `gates` (prop.run_gates) whenever the same mask hosts several
+    fixpoints — it halves the per-sweep vector work."""
     from sayuri_tpu.ops import prop as P
 
-    return P.min_prop(values, mask, n)
+    return P.min_prop(values, mask, n, gates=gates, tile=tile)
 
 
-def _flood(seed, allowed, n):
+def _flood(seed, allowed, n, gates=None, tile=1):
     from sayuri_tpu.ops import prop as P
 
-    return P.flood(seed, allowed, n)
+    return P.flood(seed, allowed, n, gates=gates, tile=tile)
 
 
-def _chain_liberty_props(color_mask, empty, n):
-    """(labels, kth_lib[0.._NUM_LIBS-1]) for one color.
+def _run_gates(mask, n):
+    from sayuri_tpu.ops import prop as P
 
-    labels: component-min flat index (f32, _BIG off-chain).
-    kth_lib[k]: the chain's (k+1)-th smallest liberty index, broadcast to
-    every chain cell (_BIG when the chain has <= k liberties)."""
-    idxf = _idx(color_mask.shape).astype(jnp.float32)
-    labels = _min_prop(idxf, color_mask, n)
+    return P.run_gates(mask, n)
 
-    kths = []
+
+_run_gates_prop = _run_gates
+
+
+def _stack(*xs):
+    return jnp.concatenate(xs, axis=0)
+
+
+def _split2(x):
+    c = x.shape[0] // 2
+    return x[:c], x[c:]
+
+
+def _chain_liberty_counts(bw_mask, empty2, n, labels=None):
+    """Per-stone chain liberty count, capped at _NUM_LIBS, for a STACKED
+    [2C, nn] color mask (black rows then white rows, shared empty mask).
+
+    Returns (labels [2C, nn], counts [2C, nn]). The k-th-liberty
+    propagations run as one stacked fixpoint per k."""
+    idxf = _idx(bw_mask.shape).astype(jnp.float32)
+    gates = _run_gates(bw_mask, n)    # shared by labels + the 5 kth props
+    if labels is None:
+        labels = _min_prop(idxf, bw_mask, n, gates=gates)
+
+    empty_idx = jnp.where(empty2 > 0, idxf, _BIG)
+    nb_empty = _nbrs(empty_idx, n, _BIG)
+
+    count = jnp.zeros_like(idxf)
     prev = []
     for _k in range(_NUM_LIBS):
-        # per-cell: min adjacent empty index not in {prev kth's}
         cand = _BIG * jnp.ones_like(idxf)
-        for nb in _nbrs(jnp.where(empty > 0, idxf, _BIG), n, _BIG):
+        for nb in nb_empty:
             keep = nb < _BIG
             for p in prev:
                 keep = keep & (nb != p)
             cand = jnp.minimum(cand, jnp.where(keep, nb, _BIG))
-        kth = _min_prop(cand, color_mask, n)
-        kths.append(kth)
+        kth = _min_prop(cand, bw_mask, n, gates=gates)
+        count = count + (kth < _BIG).astype(jnp.float32)
         prev.append(kth)
-    return labels, kths
+    return labels, count * bw_mask
 
 
 def _diag_sum(m, n):
@@ -116,28 +169,50 @@ def _diag_sum(m, n):
     return ul + ur + dl + dr
 
 
-def _benson(c, opp_real, empty, mask, n):
-    """In-kernel pass-alive area for one color: Benson + vital regions +
-    pass-dead opponent regions, mirroring game/analysis.py's XLA
-    implementation exactly (same inner-region approximation). All
-    aggregations are min/or-propagations — no scatters."""
+def _benson_both(black, white, empty, mask, n, lbl_bw=None):
+    """Pass-alive area for BOTH colors in one stacked [2C, nn] pass:
+    Benson + vital regions + pass-dead opponent regions, mirroring
+    game/analysis.py's XLA implementation exactly (same inner-region
+    approximation). All aggregations are min/or-propagations — no
+    scatters. Returns (pass_area_black, pass_area_white), each [C, nn].
+
+    Stacking layout: rows [0, C) analyze black chains (opponent white),
+    rows [C, 2C) analyze white chains. The 4 vital-candidate slots fan
+    out to [8C, nn] for their (independent) propagations."""
+    c = _stack(black, white)               # [2C, nn] own chains
+    opp_real = _stack(white, black)
+    empty = _stack(empty, empty)
+    mask = _stack(mask, mask)
+
     idxf = _idx(c.shape).astype(jnp.float32)
     other = mask * (1.0 - c)
+    # `other` hosts ~10 fixpoints and `c` ~5: precompute their run gates
+    gates_o = _run_gates(other, n)
+    gates_c = _run_gates(c, n)
 
     # --- potential vitality ---
     bad = empty * (1.0 - _nbr_or(c, n)) * other
-    not_potential = _flood(bad, other, n)
+    not_potential = _flood(bad, other, n, gates=gates_o)
     potential = other * (1.0 - not_potential)
 
     # --- chain / candidate setup ---
-    lbl_c = _min_prop(idxf, c, n)                    # chain labels (f32)
-    lbl_c_v = jnp.where(c > 0, lbl_c, _BIG)
+    if lbl_bw is None:
+        lbl_bw = _min_prop(idxf, c, n, gates=gates_c)
+    lbl_c_v = jnp.where(c > 0, lbl_bw, _BIG)
     nbrl = _nbrs(lbl_c_v, n, _BIG)                   # 4 neighbor chain labels
 
-    first_empty = _min_prop(jnp.where(empty > 0, idxf, _BIG), other, n)
+    # region labels + first-empty-in-region: one stacked [4C] fixpoint
+    fe_lr = _min_prop(
+        _stack(jnp.where(empty > 0, idxf, _BIG), idxf),
+        other,
+        n,
+        gates=gates_o,
+        tile=2,
+    )
+    first_empty, lbl_r = _split2(fe_lr)
     is_root = empty * (idxf == first_empty).astype(jnp.float32) * other
 
-    # k-th distinct neighbor chain label at each cell (<=4)
+    # k-th distinct neighbor chain label at each cell (<=4), elementwise
     s = []
     for k in range(4):
         cand = _BIG * jnp.ones_like(idxf)
@@ -147,56 +222,68 @@ def _benson(c, opp_real, empty, mask, n):
                 keep = keep & (nb != p)
             cand = jnp.minimum(cand, jnp.where(keep, nb, _BIG))
         s.append(cand)
-    # broadcast the ROOT cell's candidates over the region
-    cand_R = [
-        _min_prop(jnp.where(is_root > 0, sk, _BIG), other, n) for sk in s
-    ]
+    # broadcast the ROOT cell's candidates over the region: one stacked
+    # [8C, nn] fixpoint for all 4 slots x 2 colors
+    cand_all = _min_prop(
+        jnp.concatenate(
+            [jnp.where(is_root > 0, sk, _BIG) for sk in s], axis=0
+        ),
+        other,
+        n,
+        gates=gates_o,
+        tile=4,
+    )
+    cand_R = jnp.split(cand_all, 4, axis=0)
 
-    # vitality per slot: every empty in the region adjacent to that chain
-    vital = []
+    # vitality per slot: every empty in the region adjacent to that chain;
+    # the 4 not-vital floods stack into one [8C, nn] fixpoint
+    bad_seeds = []
     for ck in cand_R:
         adj = jnp.zeros_like(idxf)
         for nb in nbrl:
             adj = jnp.maximum(adj, (nb == ck).astype(jnp.float32))
-        bad_k = empty * other * (1.0 - adj)
-        not_vital = _flood(bad_k, other, n)
-        vital.append(
-            potential * (1.0 - not_vital) * (ck < _BIG).astype(jnp.float32)
-        )
+        bad_seeds.append(empty * other * (1.0 - adj))
+    not_vital_all = _flood(
+        jnp.concatenate(bad_seeds, axis=0), other, n, gates=gates_o, tile=4
+    )
+    vital = [
+        potential
+        * (1.0 - nv)
+        * (ck < _BIG).astype(jnp.float32)
+        for nv, ck in zip(jnp.split(not_vital_all, 4, axis=0), cand_R)
+    ]
 
     # --- Benson iteration over per-chain alive bits ---
-    lbl_r = _min_prop(idxf, other, n)
     lbl_r_v = jnp.where(other > 0, lbl_r, _BIG)
     nbr_r = _nbrs(lbl_r_v, n, _BIG)                  # region roots next door
     my = lbl_c_v
-    # precompute direction-wise (neighbor cand_k == my chain) masks; only
-    # the usable factor changes between rounds
-    nbr_match = []   # [4][K] bool-as-f32: neighbor's slot-k chain is mine
-    nbr_vk_base = []  # [4][K] neighbor vital flags (pre-usable)
+    # direction-wise "a region vital to MY chain lies next door" flags.
+    # These are round-INVARIANT (only the usable factor changes between
+    # Benson rounds), so the k-slot reduction folds into 4 arrays here
+    # instead of 4x4x2 precomputed ones — the VMEM high-water mark of the
+    # kernel.
+    flag_dir = [jnp.zeros_like(idxf) for _ in range(4)]
     for ck, vk in zip(cand_R, vital):
         ck_v = jnp.where(other > 0, ck, _BIG)
         m4 = _nbrs(ck_v, n, _BIG)
         v4 = _nbrs(vk, n, 0.0)
-        nbr_match.append([(m4[d] == my).astype(jnp.float32) for d in range(4)])
-        nbr_vk_base.append([v4[d] for d in range(4)])
+        for d in range(4):
+            flag_dir[d] = jnp.maximum(
+                flag_dir[d], v4[d] * (m4[d] == my).astype(jnp.float32)
+            )
 
     def alive_round(alive_cell):
         dead_adj = _nbr_or(c * (1.0 - alive_cell), n)
-        unusable = _flood(other * dead_adj, other, n)
+        unusable = _flood(other * dead_adj, other, n, gates=gates_o)
         usable = other * (1.0 - unusable)
         nbr_us = _nbrs(usable, n, 0.0)
         vr = _BIG * jnp.ones_like(idxf)
         for d in range(4):
-            flag = jnp.zeros_like(idxf)
-            for k in range(len(cand_R)):
-                flag = jnp.maximum(
-                    flag, nbr_vk_base[k][d] * nbr_match[k][d]
-                )
-            flag = flag * nbr_us[d]
+            flag = flag_dir[d] * nbr_us[d]
             vr = jnp.minimum(vr, jnp.where(flag > 0, nbr_r[d], _BIG))
-        first = _min_prop(vr, c, n)
+        first = _min_prop(vr, c, n, gates=gates_c)
         vr2 = jnp.where(vr != first, vr, _BIG)
-        second = _min_prop(vr2, c, n)
+        second = _min_prop(vr2, c, n, gates=gates_c)
         return c * (second < _BIG).astype(jnp.float32), usable
 
     def body(carry):
@@ -223,14 +310,18 @@ def _benson(c, opp_real, empty, mask, n):
     ) * (corner_c == 0.0).astype(jnp.float32)
     is_eye = others2 * (1.0 - opp_real) * no_c_side * corner_ok
 
-    e1 = _min_prop(jnp.where(is_eye > 0, idxf, _BIG), others2, n)
+    gates_o2 = _run_gates(others2, n)  # 3 sequential eye-count fixpoints
+    e1 = _min_prop(jnp.where(is_eye > 0, idxf, _BIG), others2, n,
+                   gates=gates_o2)
     e2 = _min_prop(
-        jnp.where((is_eye > 0) & (idxf != e1), idxf, _BIG), others2, n
+        jnp.where((is_eye > 0) & (idxf != e1), idxf, _BIG), others2, n,
+        gates=gates_o2,
     )
     e3 = _min_prop(
         jnp.where((is_eye > 0) & (idxf != e1) & (idxf != e2), idxf, _BIG),
         others2,
         n,
+        gates=gates_o2,
     )
     r1, c1 = jnp.floor(e1 / n), e1 % n
     r2, c2 = jnp.floor(e2 / n), e2 % n
@@ -238,12 +329,64 @@ def _benson(c, opp_real, empty, mask, n):
     eff_ge2 = ((e2 < _BIG) & ~adj12) | (e3 < _BIG)
     pass_dead = others2 * (1.0 - eff_ge2.astype(jnp.float32))
 
-    return jnp.minimum(jnp.maximum(alive, jnp.maximum(vital_final, pass_dead)), 1.0)
+    pa = jnp.minimum(
+        jnp.maximum(alive, jnp.maximum(vital_final, pass_dead)), 1.0
+    )
+    return _split2(pa)
+
+
+def _analyze_board(stones2, ko2, tm2, mask, empty2, n,
+                   legal_ref, libs_ref, own_ref, safe_ref, sown_ref):
+    """Shared analysis tail: from a (post-move) board, fill the legality,
+    liberty, ownership, safe-area, and score-ownership output refs."""
+    idx = _idx(stones2.shape)
+    black = (stones2 == 1.0) * mask
+    white = (stones2 == 2.0) * mask
+
+    bw = _stack(black, white)
+    lbl_bw, cnt_bw = _chain_liberty_counts(
+        bw, _stack(empty2, empty2), n
+    )
+    cnt_b, cnt_w = _split2(cnt_bw)
+    libs_ref[:] = (cnt_b + cnt_w).astype(jnp.int32)
+
+    # legality (board.py legal_moves semantics): empty & in-board & not-ko
+    # & (empty nbr | own chain with >=2 libs nbr | opp chain in atari nbr)
+    own_is_b = tm2 == 0.0
+    own_cnt = jnp.where(own_is_b, cnt_b, cnt_w)
+    opp_cnt = jnp.where(own_is_b, cnt_w, cnt_b)
+    has_empty_nb = _nbr_or(empty2, n)
+    own_safe_nb = _nbr_or((own_cnt >= 2.0).astype(jnp.float32), n)
+    opp_cap_nb = _nbr_or((opp_cnt == 1.0).astype(jnp.float32), n)
+    not_ko = (idx.astype(jnp.float32) != ko2).astype(jnp.float32)
+    legal = empty2 * not_ko * jnp.maximum(
+        has_empty_nb, jnp.maximum(own_safe_nb, opp_cap_nb)
+    )
+    legal_ref[:] = legal > 0.5
+
+    # Tromp-Taylor reach ownership: both colors as one stacked flood
+    reach_bw = _flood(
+        _stack(empty2 * _nbr_or(black, n), empty2 * _nbr_or(white, n)),
+        _stack(empty2, empty2),
+        n,
+    )
+    reach_b, reach_w = _split2(reach_bw)
+    own = (
+        black - white + reach_b * (1.0 - reach_w) - reach_w * (1.0 - reach_b)
+    )
+    own_ref[:] = own.astype(jnp.int32)
+
+    # Benson pass-alive/pass-dead areas + score-area ownership
+    # (ComputeSafeArea / ComputeScoreArea, board.cc:1581-1718)
+    pa_b, pa_w = _benson_both(black, white, empty2, mask, n, lbl_bw=lbl_bw)
+    safe_ref[:] = (pa_b + pa_w) > 0.5
+    sown = jnp.where(pa_b > 0, 1.0, own)
+    sown = jnp.where(pa_w > 0, -1.0, sown)
+    sown_ref[:] = sown.astype(jnp.int32)
 
 
 def _analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref,
                      legal_ref, libs_ref, own_ref, safe_ref, sown_ref):
-    nn = n * n
     stones = stones_ref[:].astype(jnp.float32)       # [C, nn] 0/1/2
     size = size_ref[:].astype(jnp.float32)           # [C, 1]
     ko = ko_ref[:].astype(jnp.float32)               # [C, 1]
@@ -253,64 +396,21 @@ def _analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref,
     row = (idx // n).astype(jnp.float32)
     col_f = (idx % n).astype(jnp.float32)
     mask = ((row < size) & (col_f < size)).astype(jnp.float32)
-
-    black = (stones == 1.0) * mask
-    white = (stones == 2.0) * mask
     empty = (stones == 0.0) * mask
 
-    lbl_b, libs_b = _chain_liberty_props(black, empty, n)
-    lbl_w, libs_w = _chain_liberty_props(white, empty, n)
-
-    # liberty count capped at _NUM_LIBS
-    def count(kths, cmask):
-        c = jnp.zeros_like(cmask)
-        for kth in kths:
-            c = c + (kth < _BIG).astype(jnp.float32)
-        return c * cmask
-
-    cnt_b = count(libs_b, black)
-    cnt_w = count(libs_w, white)
-    libs_ref[:] = (cnt_b + cnt_w).astype(jnp.int32)
-
-    # legality (board.py legal_moves semantics): empty & in-board & not-ko
-    # & (empty nbr | own chain with >=2 libs nbr | opp chain in atari nbr)
-    own_is_b = tm == 0.0
-    own_cnt = jnp.where(own_is_b, cnt_b, cnt_w)
-    opp_cnt = jnp.where(own_is_b, cnt_w, cnt_b)
-    has_empty_nb = _nbr_or(empty, n)
-    own_safe_nb = _nbr_or((own_cnt >= 2.0).astype(jnp.float32), n)
-    opp_cap_nb = _nbr_or((opp_cnt == 1.0).astype(jnp.float32), n)
-    not_ko = (idx.astype(jnp.float32) != ko).astype(jnp.float32)
-    legal = empty * not_ko * jnp.maximum(
-        has_empty_nb, jnp.maximum(own_safe_nb, opp_cap_nb)
-    )
-    legal_ref[:] = legal > 0.5
-
-    # Tromp-Taylor reach ownership
-    reach_b = _flood(empty * _nbr_or(black, n), empty, n)
-    reach_w = _flood(empty * _nbr_or(white, n), empty, n)
-    own = (
-        black
-        - white
-        + reach_b * (1.0 - reach_w)
-        - reach_w * (1.0 - reach_b)
-    )
-    own_ref[:] = own.astype(jnp.int32)
-
-    # Benson pass-alive/pass-dead areas + score-area ownership
-    # (ComputeSafeArea / ComputeScoreArea, board.cc:1581-1718)
-    pa_b = _benson(black, white, empty, mask, n)
-    pa_w = _benson(white, black, empty, mask, n)
-    safe_ref[:] = (pa_b + pa_w) > 0.5
-    sown = jnp.where(pa_b > 0, 1.0, own)
-    sown = jnp.where(pa_w > 0, -1.0, sown)
-    sown_ref[:] = sown.astype(jnp.int32)
+    _analyze_board(stones, ko, tm, mask, empty, n,
+                   legal_ref, libs_ref, own_ref, safe_ref, sown_ref)
 
 
 def _apply_move(stones, tm, action, empty, mask, n):
     """In-kernel play_move (board.py play_move semantics): place the stone,
     remove opponent chains left with no liberty, compute the simple-ko
-    vertex. Returns (stones2, n_cap [C,1], ko2 [C,1], is_pass [C,1])."""
+    vertex. Returns (stones2, n_cap [C,1], ko2 [C,1], is_pass [C,1]).
+
+    Ko detection is LOCAL: the ko rule requires the played group to be a
+    single stone with exactly one liberty after capturing exactly one
+    stone — group size 1 means "no own-color neighbors", so no flood is
+    needed (vs. Board::PlayMoveAssumeLegal's string walk, board.cc:1484)."""
     nn = n * n
     idxf = _idx(stones.shape).astype(jnp.float32)
     v = action  # [C, 1] f32
@@ -321,7 +421,6 @@ def _apply_move(stones, tm, action, empty, mask, n):
     opp_c = 2.0 - tm
     stones1 = stones * (1.0 - onehot) + onehot * own_c
 
-    opp1 = jnp.zeros_like(stones1)
     opp1 = (stones1 == opp_c).astype(jnp.float32) * mask
     empty1 = (stones1 == 0.0).astype(jnp.float32) * mask
     # first liberty of each opp chain on stones1; BIG => captured
@@ -335,14 +434,13 @@ def _apply_move(stones, tm, action, empty, mask, n):
 
     own2 = (stones2 == own_c).astype(jnp.float32) * mask
     empty2 = (stones2 == 0.0).astype(jnp.float32) * mask
-    grp = _flood(onehot, own2, n)
-    grp_size = jnp.sum(grp, axis=1, keepdims=True)
-    grp_libs = jnp.sum(_nbr_or(grp, n) * empty2, axis=1, keepdims=True)
+    own_nb_cnt = jnp.sum(onehot * _nbr_sum(own2, n), axis=1, keepdims=True)
+    lib_cnt = jnp.sum(onehot * _nbr_sum(empty2, n), axis=1, keepdims=True)
     cap_v = jnp.min(
         jnp.where(captured > 0, idxf, _BIG), axis=1, keepdims=True
     )
     is_ko = (
-        (n_cap == 1.0) & (grp_size == 1.0) & (grp_libs == 1.0)
+        (n_cap == 1.0) & (own_nb_cnt == 0.0) & (lib_cnt == 1.0)
     ).astype(jnp.float32)
     ko2 = jnp.where((is_ko > 0) & (is_pass == 0.0), cap_v, -1.0)
 
@@ -351,12 +449,26 @@ def _apply_move(stones, tm, action, empty, mask, n):
     return out_stones, out_ncap, ko2, is_pass
 
 
+def _xor_fold(y, n):
+    """XOR-reduce [C, nn] int32 along lanes into lane 0 (log fold)."""
+    nn = n * n
+    idx = _idx(y.shape)
+    width = nn
+    while width > 1:
+        d = (width + 1) // 2
+        rolled = pltpu.roll(y, nn - d, 1)  # lane i <- y[(i + d) % nn]
+        y = y ^ jnp.where(idx < width - d, rolled, 0)
+        width = d
+    return y
+
+
 def _step_analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
-                          new_stones_ref, ncap_ref, ko2_ref,
+                          zob_ref,
+                          new_stones_ref, ncap_ref, ko2_ref, hash_ref,
                           legal_ref, libs_ref, own_ref, safe_ref, sown_ref):
     """step + full child-position analysis in one launch: the entire
     per-simulation board work (env transition + everything the encoder and
-    legality need at the leaf)."""
+    legality need at the leaf), plus the child position's Zobrist hash."""
     stones = stones_ref[:].astype(jnp.float32)
     size = size_ref[:].astype(jnp.float32)
     tm = tm_ref[:].astype(jnp.float32)
@@ -373,50 +485,48 @@ def _step_analysis_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
     ncap_ref[:] = ncap.astype(jnp.int32)
     ko2_ref[:] = ko2.astype(jnp.int32)
 
+    # Zobrist hash of the child board (game/board.py position_hash): select
+    # the color key per cell, XOR-fold over lanes. zob rows: black word0,
+    # black word1, white word0, white word1.
+    zob = zob_ref[:]
+    si = stones2.astype(jnp.int32)
+    words = []
+    for w in range(2):
+        bk = zob[w : w + 1, :]
+        wk = zob[2 + w : 3 + w, :]
+        vals = jnp.where(si == 1, bk, 0) ^ jnp.where(si == 2, wk, 0)
+        words.append(_xor_fold(vals, n)[:, :1])
+    hash_ref[:] = jnp.concatenate(words, axis=1)
+
     # analysis of the CHILD position: side to move flips
     tm2 = 1.0 - tm
-    black = (stones2 == 1.0) * mask
-    white = (stones2 == 2.0) * mask
     empty2 = (stones2 == 0.0) * mask
+    _analyze_board(stones2, ko2, tm2, mask, empty2, n,
+                   legal_ref, libs_ref, own_ref, safe_ref, sown_ref)
 
-    _, libs_b = _chain_liberty_props(black, empty2, n)
-    _, libs_w = _chain_liberty_props(white, empty2, n)
 
-    def count(kths, cmask):
-        c = jnp.zeros_like(cmask)
-        for kth in kths:
-            c = c + (kth < _BIG).astype(jnp.float32)
-        return c * cmask
+@functools.lru_cache(maxsize=4)
+def _zobrist_rows(n: int):
+    """[4, nn] int32 NUMPY zobrist key rows (black w0/w1, white w0/w1).
+    Kept as numpy so the lru_cache never captures a jit tracer."""
+    import numpy as np
 
-    cnt_b = count(libs_b, black)
-    cnt_w = count(libs_w, white)
-    libs_ref[:] = (cnt_b + cnt_w).astype(jnp.int32)
+    from sayuri_tpu.game.types import C_BLACK, C_WHITE, EMPTY
 
-    own_is_b = tm2 == 0.0
-    own_cnt = jnp.where(own_is_b, cnt_b, cnt_w)
-    opp_cnt = jnp.where(own_is_b, cnt_w, cnt_b)
-    has_empty_nb = _nbr_or(empty2, n)
-    own_safe_nb = _nbr_or((own_cnt >= 2.0).astype(jnp.float32), n)
-    opp_cap_nb = _nbr_or((opp_cnt == 1.0).astype(jnp.float32), n)
-    not_ko = (idx.astype(jnp.float32) != ko2).astype(jnp.float32)
-    legal = empty2 * not_ko * jnp.maximum(
-        has_empty_nb, jnp.maximum(own_safe_nb, opp_cap_nb)
+    # same generator/seed as game/board.py _zobrist_tables (pure numpy so
+    # this works inside a jit trace)
+    rng = np.random.Generator(np.random.Philox(key=0x5A9E12))
+    cells = rng.integers(0, 2**32, size=(2, 3, n * n), dtype=np.uint32)
+    cells[:, EMPTY, :] = 0
+    rows = np.stack(
+        [
+            cells[0, C_BLACK],
+            cells[1, C_BLACK],
+            cells[0, C_WHITE],
+            cells[1, C_WHITE],
+        ]
     )
-    legal_ref[:] = legal > 0.5
-
-    reach_b = _flood(empty2 * _nbr_or(black, n), empty2, n)
-    reach_w = _flood(empty2 * _nbr_or(white, n), empty2, n)
-    own = (
-        black - white + reach_b * (1.0 - reach_w) - reach_w * (1.0 - reach_b)
-    )
-    own_ref[:] = own.astype(jnp.int32)
-
-    pa_b = _benson(black, white, empty2, mask, n)
-    pa_w = _benson(white, black, empty2, mask, n)
-    safe_ref[:] = (pa_b + pa_w) > 0.5
-    sown = jnp.where(pa_b > 0, 1.0, own)
-    sown = jnp.where(pa_w > 0, -1.0, sown)
-    sown_ref[:] = sown.astype(jnp.int32)
+    return rows.view(np.int32)  # numpy: safe to cache across jit traces
 
 
 def step_and_analyze_tpu(stones, size, ko, to_move, action):
@@ -424,7 +534,8 @@ def step_and_analyze_tpu(stones, size, ko, to_move, action):
 
     Inputs: [B, n, n] stones + [B] scalars + [B] actions (>= n*n = pass).
     Returns dict(new_stones [B,n,n] i32, n_captured [B], new_ko [B],
-    legal [B,nn] bool, libs/ownership/safe/score_ownership [B,n,n])."""
+    new_hash [B,2] uint32, legal [B,nn] bool, libs/ownership/safe/
+    score_ownership [B,n,n])."""
     b, n = stones.shape[0], stones.shape[-1]
     nn = n * n
     chunk = min(b, _CHUNK)
@@ -444,6 +555,7 @@ def step_and_analyze_tpu(stones, size, ko, to_move, action):
             jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # new stones
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # n_cap
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # new ko
+            jax.ShapeDtypeStruct((bp, 2), jnp.int32),    # zobrist hash
             jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # legal
             jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # libs
             jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # ownership
@@ -456,21 +568,25 @@ def step_and_analyze_tpu(stones, size, ko, to_move, action):
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nn), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
             pl.BlockSpec(
                 (chunk, sh), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
-            for sh in (nn, 1, 1, nn, nn, nn, nn, nn)
+            for sh in (nn, 1, 1, 2, nn, nn, nn, nn, nn)
         ),
         interpret=INTERPRET,
-    )(prep(stones), prep(size), prep(ko), prep(to_move), prep(action))
+        compiler_params=_COMPILER_PARAMS,
+    )(prep(stones), prep(size), prep(ko), prep(to_move), prep(action),
+      _zobrist_rows(n))
     sl = slice(0, b)
-    new_stones, ncap, ko2, legal, libs, own, safe, sown = outs
+    new_stones, ncap, ko2, h, legal, libs, own, safe, sown = outs
     return {
         "new_stones": new_stones[sl].reshape(b, n, n),
         "n_captured": ncap[sl].reshape(b),
         "new_ko": ko2[sl].reshape(b),
+        "new_hash": lax.bitcast_convert_type(h[sl], jnp.uint32),
         "legal": legal[sl],
         "libs": libs[sl].reshape(b, n, n),
         "ownership": own[sl].reshape(b, n, n),
@@ -524,6 +640,7 @@ def board_analysis_tpu(stones, size, ko, to_move):
             pl.BlockSpec((chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(stones_f, size_f, ko_f, tm_f)
     sl = slice(0, b)
     return {
@@ -532,4 +649,136 @@ def board_analysis_tpu(stones, size, ko, to_move):
         "ownership": own[sl].reshape(b, n, n),
         "safe": safe[sl].reshape(b, n, n),
         "score_ownership": sown[sl].reshape(b, n, n),
+    }
+
+
+def _step_legal_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
+                       zob_ref,
+                       new_stones_ref, ncap_ref, ko2_ref, hash_ref,
+                       legal_ref):
+    """LIGHT step kernel: board transition + child legality + hash only.
+
+    This is the raw environment-stepping path (rollouts, env benchmarks,
+    opening randomization) — the full Benson/liberty-plane analysis is
+    search-leaf work and lives in `_step_analysis_kernel`. Legality needs
+    only the existence of each chain's 1st and 2nd liberty:
+      legal(v) = empty & not-ko & (empty-nbr
+                 | own-nbr-chain with a 2nd liberty
+                 | opp-nbr-chain without a 2nd liberty)
+    (an adjacent opp chain's single liberty is necessarily v itself), so
+    the whole launch runs 3 fixpoints instead of ~30
+    (Board::IsLegalMove semantics, board.cc:269-321)."""
+    stones = stones_ref[:].astype(jnp.float32)
+    size = size_ref[:].astype(jnp.float32)
+    tm = tm_ref[:].astype(jnp.float32)
+    act = act_ref[:].astype(jnp.float32)
+
+    idx = _idx(stones.shape)
+    row = (idx // n).astype(jnp.float32)
+    col_f = (idx % n).astype(jnp.float32)
+    mask = ((row < size) & (col_f < size)).astype(jnp.float32)
+    empty = (stones == 0.0).astype(jnp.float32) * mask
+
+    stones2, ncap, ko2, _ = _apply_move(stones, tm, act, empty, mask, n)
+    new_stones_ref[:] = stones2.astype(jnp.int32)
+    ncap_ref[:] = ncap.astype(jnp.int32)
+    ko2_ref[:] = ko2.astype(jnp.int32)
+
+    zob = zob_ref[:]
+    si = stones2.astype(jnp.int32)
+    words = []
+    for w in range(2):
+        bk = zob[w : w + 1, :]
+        wk = zob[2 + w : 3 + w, :]
+        vals = jnp.where(si == 1, bk, 0) ^ jnp.where(si == 2, wk, 0)
+        words.append(_xor_fold(vals, n)[:, :1])
+    hash_ref[:] = jnp.concatenate(words, axis=1)
+
+    # child legality from 1st/2nd liberty existence (stacked colors)
+    tm2 = 1.0 - tm
+    idxf = idx.astype(jnp.float32)
+    black = (stones2 == 1.0) * mask
+    white = (stones2 == 2.0) * mask
+    empty2 = (stones2 == 0.0) * mask
+    bw = _stack(black, white)
+    empty_bw = _stack(empty2, empty2)
+    gates = _run_gates_prop(bw, n)
+    adj = jnp.where(empty_bw > 0, _stack(idxf, idxf), _BIG)
+    nb = _nbrs(adj, n, _BIG)
+    cand1 = jnp.minimum(jnp.minimum(nb[0], nb[1]), jnp.minimum(nb[2], nb[3]))
+    lib1 = _min_prop(cand1, bw, n, gates=gates)
+    cand2 = _BIG * jnp.ones_like(cand1)
+    for x in nb:
+        cand2 = jnp.minimum(cand2, jnp.where(x != lib1, x, _BIG))
+    lib2 = _min_prop(cand2, bw, n, gates=gates)
+    has2_b, has2_w = _split2((lib2 < _BIG).astype(jnp.float32) * bw)
+    only1_b, only1_w = _split2(
+        ((lib2 >= _BIG)).astype(jnp.float32) * bw
+    )
+    own_is_b = tm2 == 0.0
+    own_safe = jnp.where(own_is_b, has2_b, has2_w)
+    opp_cap = jnp.where(own_is_b, only1_w, only1_b)
+    legal = (
+        empty2
+        * (idxf != ko2).astype(jnp.float32)
+        * jnp.maximum(
+            _nbr_or(empty2, n),
+            jnp.maximum(_nbr_or(own_safe, n), _nbr_or(opp_cap, n)),
+        )
+    )
+    legal_ref[:] = legal > 0.5
+
+
+def step_and_legal_tpu(stones, size, ko, to_move, action):
+    """Batched env-step + child legality + hash (light kernel — the raw
+    env-stepping hot path). Same input/output conventions as
+    `step_and_analyze_tpu` minus the leaf-analysis planes."""
+    b, n = stones.shape[0], stones.shape[-1]
+    nn = n * n
+    chunk = min(b, _CHUNK)
+    pad = (-b) % chunk
+    bp = b + pad
+
+    def prep(x):
+        x = x.reshape(b, -1).astype(jnp.int32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), jnp.int32)])
+        return x
+
+    outs = pl.pallas_call(
+        functools.partial(_step_legal_kernel, n),
+        grid=(bp // chunk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # new stones
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # n_cap
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),    # new ko
+            jax.ShapeDtypeStruct((bp, 2), jnp.int32),    # zobrist hash
+            jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # legal
+        ),
+        in_specs=[
+            pl.BlockSpec((chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (chunk, sh), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            for sh in (nn, 1, 1, 2, nn)
+        ),
+        interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
+    )(prep(stones), prep(size), prep(ko), prep(to_move), prep(action),
+      _zobrist_rows(n))
+    sl = slice(0, b)
+    new_stones, ncap, ko2, h, legal = outs
+    return {
+        "new_stones": new_stones[sl].reshape(b, n, n),
+        "n_captured": ncap[sl].reshape(b),
+        "new_ko": ko2[sl].reshape(b),
+        "new_hash": lax.bitcast_convert_type(h[sl], jnp.uint32),
+        "legal": legal[sl],
     }

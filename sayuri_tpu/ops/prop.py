@@ -12,6 +12,17 @@ yields the 4-connected component minimum in O(#bends-of-the-component)
 sweeps — the same label/min propagation the reference gets from union-find
 walks (/root/reference/src/game/strings.cc), restated for the VPU.
 
+Run-length gates: the doubling step `f[i] = min(f[i], f[i-d])` is valid
+exactly when cells (i-d, i] are all masked and in the same row/column —
+i.e. when the directional run length ending at i is >= d. Precomputing
+the 4 run-length arrays once per mask (`run_gates`) reduces each sweep
+step to roll + compare + select + min, with the compare also subsuming
+the board-edge masking (run lengths never cross rows by construction).
+This more than halves the per-sweep vector work vs. re-deriving
+connectivity chains inside every sweep, and the gates are shared by every
+fixpoint over the same mask (the chain-liberty and Benson masks host 5-10
+fixpoints each).
+
 Layout convention: boards are [C, n*n] row-major flats (lane dim = cells);
 values f32; `_BIG` marks off-mask / +inf.
 """
@@ -50,50 +61,95 @@ def _shift_from(x, d, n, fill, axis_is_row: bool, forward: bool):
     return jnp.where(ok, rolled, fill)
 
 
-def _run_min_axis(v, m, n, axis_is_row: bool):
-    """[C, nn] run-min of `v` over maximal contiguous runs of mask `m`
-    along one axis. `v` must already be `_BIG` off-mask."""
+def run_gates(mask, n):
+    """Directional run lengths of `mask` (0/1 f32), capped at the next
+    power of two >= n: rl[i] = number of consecutive masked cells ending
+    at i, approaching along (axis, direction). The doubling-step gate at
+    distance d is simply rl >= d. Returns
+    [(axis_is_row, forward, rl), ...] for the 4 (axis, dir) pairs."""
+    gates = []
+    for axis_is_row in (True, False):
+        for forward in (True, False):
+            rl = mask
+            d = 1
+            while d < n:
+                rl_s = _shift_from(rl, d, n, 0.0, axis_is_row, forward)
+                rl = rl + jnp.where(rl >= d, rl_s, 0.0)
+                d *= 2
+            gates.append((axis_is_row, forward, rl))
+    return gates
+
+
+def _tile(x, tile):
+    return jnp.concatenate([x] * tile, axis=0) if tile > 1 else x
+
+
+def sweep_min(v, gates, n, tile=1):
+    """One row+column run-min sweep (values `_BIG` off-mask). `gates`
+    comes from `run_gates`; `tile` repeats the gate arrays along the
+    sublane axis for problems stacked over one mask."""
+    nn = n * n
     out = v
-    for forward in (True, False):
-        f, c = v, m
+    for axis_is_row, forward, rl in gates:
+        rl = _tile(rl, tile)
+        stride = 1 if axis_is_row else n
+        f = v
         d = 1
         while d < n:
-            f_s = _shift_from(f, d, n, _BIG, axis_is_row, forward)
-            c_s = _shift_from(c, d, n, 0.0, axis_is_row, forward)
-            f = jnp.minimum(f, jnp.where(c > 0, f_s, _BIG))
-            c = c * c_s
+            # Gate rl > d == "cells [i-d, i] all masked", which requires
+            # the SOURCE cell masked and in the same row/col run — so a
+            # raw cyclic roll is safe (wrapped lanes are gated), and
+            # blocking off-mask sources is a no-op (they hold _BIG).
+            s = d * stride if forward else nn - d * stride
+            f = jnp.minimum(f, jnp.where(rl > d, pltpu.roll(f, s, 1), _BIG))
             d *= 2
         out = jnp.minimum(out, f)
     return out
 
 
-def sweep_min(v, m, n):
-    """One row+column run-min sweep (values `_BIG` off-mask)."""
-    v = _run_min_axis(v, m, n, True)
-    v = _run_min_axis(v, m, n, False)
-    return v
-
-
-def min_prop(values, mask, n):
+def min_prop(values, mask, n, gates=None, tile=1):
     """Fixpoint: component-wise minimum of `values` over 4-connected
     components of `mask`, broadcast over each component. Returns `_BIG`
-    off-mask. `mask` is 0/1 f32."""
-    v0 = jnp.where(mask > 0, values, _BIG)
+    off-mask. `mask` is 0/1 f32. Pass precomputed `gates` whenever the
+    same mask hosts several fixpoints."""
+    mask_t = _tile(mask, tile)
+    if gates is None:
+        gates = run_gates(mask_t, n)
+        tile = 1
+    v0 = jnp.where(mask_t > 0, values, _BIG)
+
+    import os
+    fixed = int(os.environ.get("SAYURI_FIXED_SWEEPS", "0"))
+    if fixed:
+        v = v0
+        for _ in range(fixed):
+            v = sweep_min(v, gates, n, tile=tile)
+        return v
+
+    # First sweep unconditionally (it always does the bulk of the work),
+    # then iterate DOUBLE sweeps until no change: the scalar convergence
+    # reduction + branch per while iteration costs as much as a sweep's
+    # vector work, so checking every other sweep is a net win — a second
+    # sweep on a converged value is idempotent.
+    v1 = sweep_min(v0, gates, n, tile=tile)
 
     def body(carry):
         v, _ = carry
-        v2 = sweep_min(v, mask, n)
+        v2 = sweep_min(sweep_min(v, gates, n, tile=tile), gates, n, tile=tile)
         # Exact decrease test: summing would drown small deltas in the
         # f32 rounding of the ~1e9 off-mask fill values.
         return v2, jnp.any(v2 < v)
 
-    v, _ = lax.while_loop(lambda c: c[1], body, (v0, jnp.array(True)))
+    v, _ = lax.while_loop(
+        lambda c: c[1], body, (v1, jnp.any(v1 < v0))
+    )
     return v
 
 
-def flood(seed, allowed, n):
+def flood(seed, allowed, n, gates=None, tile=1):
     """Fixpoint flood fill: grow 0/1 `seed` within 0/1 `allowed`
     (4-connected). Implemented as a component-min of (1 - seed): any
     component holding a seed cell floods entirely. Returns 0/1 f32."""
-    v = min_prop(1.0 - seed, allowed, n)
-    return jnp.where((allowed > 0) & (v < 0.5), 1.0, 0.0)
+    v = min_prop(1.0 - seed, allowed, n, gates=gates, tile=tile)
+    allowed_t = _tile(allowed, tile)
+    return jnp.where((allowed_t > 0) & (v < 0.5), 1.0, 0.0)
