@@ -62,12 +62,12 @@ def bench_env_steps(batch=4096, n=19, steps=64):
 
     rng = jax.random.PRNGKey(0)
     out = rollout(states, rng)
-    jax.block_until_ready(out)
+    float(jnp.sum(out.move_count))  # true device sync (readback)
     t0 = time.monotonic()
     iters = 3
     for i in range(iters):
         out = rollout(states, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    float(jnp.sum(out.move_count))  # block_until_ready can return early
     dt = time.monotonic() - t0
     rate = iters * batch * steps / dt
     print(
@@ -138,14 +138,15 @@ def main():
     states = env.new_batch(batch, komi=7.5)
     rng = jax.random.PRNGKey(0)
 
-    # compile + warmup
-    search(states, rng).block_until_ready()
+    # compile + warmup (sum readback: block_until_ready alone can return
+    # before the device is done under tunneled/async runtimes)
+    float(jnp.sum(search(states, rng)))
 
     t0 = time.monotonic()
     iters = 3
     for i in range(iters):
         out = search(states, jax.random.fold_in(rng, i))
-    out.block_until_ready()
+    float(jnp.sum(out))
     dt = time.monotonic() - t0
 
     total_playouts = iters * batch * playouts

@@ -89,9 +89,11 @@ def state_keys(states: GoState) -> jnp.ndarray:
     planes (komi/rule/size are per-game scalars, so entries survive game
     boundaries only when genuinely comparable)."""
     n = states.stones.shape[-1]
-    h = jax.vmap(lambda s, m: B.situation_hash(s, m, n))(
-        states.stones, states.to_move
-    )  # [B, 2]
+    # position hash is maintained incrementally by the step kernels
+    # (states.hash); fold in the side-to-move key to get situation_hash
+    # without re-reducing the board (board.py situation_hash semantics)
+    _, stm = B._zobrist_tables(n)
+    h = states.hash ^ stm[:, states.to_move].T  # [B, 2]
     mix = (
         (states.ko + 2).astype(jnp.uint32) * jnp.uint32(2654435761)
         ^ (states.komi * 2.0).astype(jnp.int32).astype(jnp.uint32)

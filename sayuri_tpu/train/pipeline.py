@@ -243,6 +243,15 @@ class Trainer:
             name += f"-w{window}"
         return name
 
+    def unreplicated_params(self):
+        return jax.tree.map(np.asarray, self.state.params)
+
+    def unreplicated_swa_params(self):
+        return jax.tree.map(np.asarray, self.state.swa_params)
+
+    def unreplicated_batch_stats(self):
+        return jax.tree.map(np.asarray, self.state.batch_stats)
+
     def save_checkpoint(self, path: str, extra: dict | None = None):
         from flax import serialization
 

@@ -2,6 +2,7 @@
 SWA, checkpoint round-trip, and dataset parsing round-trip through the
 self-play chunk writer."""
 
+import os
 import numpy as np
 import pytest
 
@@ -170,3 +171,61 @@ class TestDataset:
         planes, tg = batches[0]
         assert planes.shape == (4, 5, 5, 43)
         assert tg["q_vals"].shape == (4, 5)
+
+
+class TestReferenceSetting:
+    """setting.json importer vs the reference's own sample file
+    (train/torch/config.py:23-90 schema)."""
+
+    def test_parses_reference_sample(self):
+        from sayuri_tpu.train.setting import load_setting
+
+        path = "/root/reference/bash/configs/selfplay-setting.json"
+        if not os.path.exists(path):
+            pytest.skip("reference not mounted")
+        s = load_setting(path)
+        assert s.net.boardsize == 19
+        assert s.net.residual_channels == 96
+        assert s.net.policy_head_channels == 24
+        assert s.net.value_head_channels == 24
+        assert s.net.activation == "mish"
+        assert len(s.net.stack) == 6
+        assert s.net.stack[2] == "ResidualBlock-SE"
+        assert s.net.renorm_max_r == 3.0
+        assert s.net.renorm_max_d == 4.0
+        assert s.train.optimizer == "SGD"
+        assert s.train.batch_size == 256
+        assert s.train.warmup_steps == 20000
+        assert s.train.lr_schedule == ((0, 5e-3),)
+        assert s.loop.down_sample_rate == 16
+        assert s.loop.chunks_increasing_c == 5000
+        assert s.loop.policy_surprise_factor == 0.5
+        assert s.loop.train_dir == "selfplay/tdata"
+
+    def test_v1_aliases_and_errors(self):
+        import json
+
+        from sayuri_tpu.train.setting import load_setting
+
+        base = {
+            "NeuralNetwork": {
+                "MaxBoardSize": 9,
+                "ResidualChannels": 32,
+                "PolicyExtract": 8,      # v1~v4 alias
+                "ValueExtract": 8,
+                "PolicyHeadType": {"Type": "RepLK"},
+                "Stack": ["ResidualBlock"],
+            },
+            "Train": {
+                "TrainDirectory": "td",
+                "StorePath": "sp",
+            },
+        }
+        s = load_setting(json.dumps(base))
+        assert s.net.policy_head_channels == 8
+        assert s.net.policy_head_type == "RepLK"
+
+        bad = dict(base)
+        bad["Train"] = {"StorePath": "sp"}  # no TrainDirectory
+        with pytest.raises(ValueError):
+            load_setting(json.dumps(bad))
