@@ -82,6 +82,7 @@ class TestPatterns:
         g = fit_mm(comps, iterations=50)
         assert g["a"] > g["b"]
 
+    @pytest.mark.slow
     def test_train_from_sgfs_and_policy(self, tmp_path):
         size = 5
         # tiny games on 5x5
@@ -102,6 +103,7 @@ class TestPatterns:
 
 
 class TestGammasMixing:
+    @pytest.mark.slow
     def test_factor_changes_root_priors(self, tmp_path):
         """gammas_policy_factor > 0 mixes the pattern policy into the
         search's root priors (node.cc:151-160 equivalent)."""

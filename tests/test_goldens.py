@@ -59,7 +59,10 @@ def stack_states(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
-@pytest.mark.parametrize("size,stride", [(9, 1), (19, 4)])
+@pytest.mark.parametrize(
+    "size,stride",
+    [(9, 1), pytest.param(19, 4, marks=pytest.mark.slow)],
+)
 def test_goldens(size, stride):
     data = load(size)
     records = data["records"][::stride]

@@ -1,6 +1,7 @@
 """Post-search move hygiene (friendly pass / capture-all-dead / dead-alive
 strings), search.cc:640-861 semantics on crafted endgame positions."""
 
+import pytest
 import numpy as np
 
 from sayuri_tpu.mcts import hygiene as H
@@ -151,6 +152,7 @@ class TestShouldPass:
 
 
 class TestEngineIntegration:
+    @pytest.mark.slow
     def test_genmove_with_hygiene_flags(self):
         """genmove exercises the hygiene filters end-to-end
         (GetBestMove, search.cc:830-861) without crashing; with an

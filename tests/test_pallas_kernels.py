@@ -25,7 +25,7 @@ def interpret_mode():
     AK.INTERPRET = False
 
 
-def random_states(b=6, n=9, moves=25, seed=0):
+def random_states(b=4, n=9, moves=15, seed=0):
     env = GoEnv(n=n)
     rng = np.random.RandomState(seed)
     states = env.new_batch(b, komi=7.5)
@@ -111,6 +111,7 @@ class TestAnalysisKernel:
 
 
 class TestStepKernel:
+    @pytest.mark.slow
     def test_step_matches_env(self):
         env, states = random_states(b=4, n=7, moves=10, seed=3)
         n = env.n
@@ -154,6 +155,7 @@ class TestLadderKernel:
     Cell-exact over random midgame boards; the kernel replays the identical
     decision rules (board.cc:484-821 semantics) on bitboard lanes."""
 
+    @pytest.mark.slow
     def test_matches_xla_reference(self):
         from sayuri_tpu.game import ladder as L
         from sayuri_tpu.ops import ladder_kernel as LK

@@ -44,6 +44,7 @@ def small_setup(b=2, n=5, gumbel=True):
 
 
 class TestSelfplay:
+    @pytest.mark.slow
     def test_games_run_to_completion(self):
         env, actor = small_setup()
         states = env.new_batch(2, komi=4.5)
@@ -62,6 +63,7 @@ class TestSelfplay:
                 if act[i]:
                     assert legal[i, mv[i]], f"illegal move {mv[i]}"
 
+    @pytest.mark.slow
     def test_targets_and_serialization(self):
         env, actor = small_setup()
         states = env.new_batch(2, komi=4.5)
@@ -95,6 +97,7 @@ class TestSelfplay:
         assert len(lines[46]) == 25  # ownership chars
         assert set(lines[46]).issubset(set("013"))
 
+    @pytest.mark.slow
     def test_chunk_writing(self, tmp_path):
         env, actor = small_setup()
         states = env.new_batch(2, komi=4.5)
@@ -110,6 +113,7 @@ class TestSelfplay:
             content = f.read()
         assert content.count("\n") % 53 == 0
 
+    @pytest.mark.slow
     def test_reference_parser_accepts_chunks(self, tmp_path):
         """Differential check: the reference trainer's Data parser reads our
         chunks (only when the reference tree is mounted)."""
@@ -147,6 +151,7 @@ class TestSelfplay:
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_fixed_seed_exact_match(self):
         """North-star config 1 (BASELINE.json): identical seeds produce
         bit-identical self-play trajectories — the array search has no

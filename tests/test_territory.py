@@ -8,6 +8,7 @@ is scored under the area rule with the score-preserving komi offset.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from sayuri_tpu.game import analysis as A
@@ -149,6 +150,7 @@ class TestTerritoryPlayout:
             reuse_tree=False,
         )
 
+    @pytest.mark.slow
     def test_playout_resumes_and_labels(self):
         env = GoEnv(n=5)
         actor = self._actor(env)

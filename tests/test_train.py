@@ -108,6 +108,7 @@ class TestDataset:
         w = DS.compute_window_size(250000)
         assert 5000 < w < 250000
 
+    @pytest.mark.slow
     def test_parse_roundtrip_via_selfplay_chunks(self, tmp_path):
         from tests.test_selfplay import small_setup
         from sayuri_tpu.selfplay.actor import assemble_targets
@@ -141,6 +142,7 @@ class TestDataset:
         assert tg["prob"].shape == (26,)
         assert tg["wdl"].sum() == 1.0
 
+    @pytest.mark.slow
     def test_loader_stream(self, tmp_path):
         from tests.test_selfplay import small_setup
         from sayuri_tpu.selfplay.actor import assemble_targets
