@@ -89,7 +89,7 @@ def _nbr_min(x, n):
     return jnp.minimum(jnp.minimum(lf, rt), jnp.minimum(up, dn))
 
 
-def _min_prop(values, mask, n, gates=None, tile=1):
+def _min_prop(values, mask, n, gates=None, tile=1, k0=1):
     """Fixpoint: component-wise minimum of `values` over `mask` chains
     (segmented run-min sweeps, ops/prop.py: O(#bends) sweeps of log-shift
     scans instead of O(diameter) single-cell hops). Pass precomputed
@@ -97,7 +97,7 @@ def _min_prop(values, mask, n, gates=None, tile=1):
     fixpoints — it halves the per-sweep vector work."""
     from sayuri_tpu.ops import prop as P
 
-    return P.min_prop(values, mask, n, gates=gates, tile=tile)
+    return P.min_prop(values, mask, n, gates=gates, tile=tile, k0=k0)
 
 
 def _flood(seed, allowed, n, gates=None, tile=1):
@@ -706,11 +706,11 @@ def _step_legal_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
     adj = jnp.where(empty_bw > 0, _stack(idxf, idxf), _BIG)
     nb = _nbrs(adj, n, _BIG)
     cand1 = jnp.minimum(jnp.minimum(nb[0], nb[1]), jnp.minimum(nb[2], nb[3]))
-    lib1 = _min_prop(cand1, bw, n, gates=gates)
+    lib1 = _min_prop(cand1, bw, n, gates=gates, k0=2)
     cand2 = _BIG * jnp.ones_like(cand1)
     for x in nb:
         cand2 = jnp.minimum(cand2, jnp.where(x != lib1, x, _BIG))
-    lib2 = _min_prop(cand2, bw, n, gates=gates)
+    lib2 = _min_prop(cand2, bw, n, gates=gates, k0=2)
     has2_b, has2_w = _split2((lib2 < _BIG).astype(jnp.float32) * bw)
     only1_b, only1_w = _split2(
         ((lib2 >= _BIG)).astype(jnp.float32) * bw

@@ -128,7 +128,7 @@ def _locally_unstable(v, mask_t, n):
     return jnp.any((m < v) & (mask_t > 0))
 
 
-def min_prop(values, mask, n, gates=None, tile=1, k0=2):
+def min_prop(values, mask, n, gates=None, tile=1, k0=1):
     """Fixpoint: component-wise minimum of `values` over 4-connected
     components of `mask`, broadcast over each component. Returns `_BIG`
     off-mask. `mask` is 0/1 f32. Pass precomputed `gates` whenever the
