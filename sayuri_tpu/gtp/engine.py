@@ -353,6 +353,24 @@ class Agent:
             prior=tree.prior.at[:, 0].set(jnp.asarray(mixed)[None])
         )
 
+    def gammas_policy_map(self):
+        """Pattern-gammas policy over the current position for the gogui
+        visualizations (GameState::GetGammasPolicy, game_state.cc:620),
+        or None when no patterns are loaded."""
+        if self.gammas is None:
+            return None
+        size = self.size
+        legal = np.asarray(
+            jax.jit(jax.vmap(self.env.legal_action_mask))(self.state)
+        )[0]
+        last = self.moves[-1][1] if self.moves else None
+        if last is not None and last >= size * size:
+            last = None
+        return self.gammas.policy(
+            self.stones(), size, self.to_move(), legal[: size * size + 1],
+            last_move=last,
+        )
+
     def think(
         self,
         playouts=None,
@@ -892,6 +910,42 @@ class Agent:
         gtp.cc:603-620)."""
         evals = self.eval_fn(self.state, None)
         return jax.tree.map(lambda x: np.asarray(x)[0], evals._asdict())
+
+    def raw_heads(self):
+        """Full network output dict (all 5 policy heads + value misc) at
+        the current position, or None without loaded weights. Used by the
+        gogui policy-offset visualizations (gtp.cc:818-930)."""
+        if self.variables is None or self.net_cfg is None:
+            return None
+        from sayuri_tpu.models.encoder import encode
+        from sayuri_tpu.models.network import SayuriNet
+
+        net = SayuriNet(self.net_cfg)
+        planes = jax.jit(jax.vmap(lambda s: encode(self.env, s)))(
+            self.state
+        )
+        out = jax.jit(
+            lambda x: net.apply(self.variables, x, train=False)
+        )(planes)
+        return jax.tree.map(lambda x: np.asarray(x)[0], out)
+
+    def eval_children_wl(self, actions):
+        """Batched one-forward lookahead: step each action, evaluate all
+        children in ONE forward, return the mover's winrate per action
+        (the TPU-native version of gogui-wdl_rating's serial
+        play/eval/undo loop, gtp.cc:790-817)."""
+        acts = jnp.asarray(actions, jnp.int32)
+        base = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[0], (len(actions),) + x.shape[1:]),
+            self.state,
+        )
+        children = jax.jit(jax.vmap(self.env.step))(base, acts)
+        evals = self.eval_fn(children, None)
+        # black_wl -> mover's perspective
+        wl = np.asarray(evals.black_wl)
+        if int(np.asarray(self.state.to_move)[0]) == 1:
+            wl = 1.0 - wl
+        return wl
 
     def planes_str(self) -> str:
         """Encoder plane dump (sayuri-planes, encoder.cc:52-78 format)."""

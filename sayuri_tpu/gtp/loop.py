@@ -34,7 +34,11 @@ KNOWN_COMMANDS = [
     "gogui-rules_final_result", "gogui-policy_heatmap",
     "gogui-ownership_heatmap", "gogui-seki", "selfplay-genmove", "selfplay",
     "dump_training_buffer", "clear_training_buffer", "genpatterns",
-    "genopenings",
+    "genopenings", "help", "analyze", "genmove_analyze", "debug_search",
+    "debug_moves", "gogui-wdl_rating", "gogui-policy_rating",
+    "gogui-ownership_influence", "gogui-book_rating",
+    "gogui-gammas_heatmap", "gogui-gammas_rating", "gogui-ladder_map",
+    "gogui-rank_selection",
 ]
 
 _HANDICAP_9 = {  # standard star points for fixed_handicap on odd boards
@@ -501,10 +505,26 @@ class GtpLoop:
     # -- gogui extensions (gtp.cc:767-1161 family) ---------------------
 
     def _cmd_gogui_analyze_commands(self, args):
+        # the reference's gfx menu (gtp.cc:767-789) + our dboard extras
         return True, "\n".join(
             [
+                "gfx/Win-Draw-Loss Rating/gogui-wdl_rating",
                 "dboard/Policy Heatmap/gogui-policy_heatmap",
+                "gfx/Normal Policy Rating/gogui-policy_rating normal",
+                "gfx/Opponent Policy Rating/gogui-policy_rating opponent",
+                "gfx/Soft Policy Rating/gogui-policy_rating soft",
+                "gfx/Soft Opponent Policy Rating/"
+                "gogui-policy_rating softopponent",
+                "gfx/Optimistic Policy Rating/"
+                "gogui-policy_rating optimistic",
                 "dboard/Ownership Heatmap/gogui-ownership_heatmap",
+                "gfx/Ownership Influence/gogui-ownership_influence 0",
+                "gfx/MCTS Ownership Influence/gogui-ownership_influence 400",
+                "gfx/Book Rating/gogui-book_rating",
+                "gfx/Gammas Heatmap/gogui-gammas_heatmap",
+                "gfx/Gammas Rating/gogui-gammas_rating",
+                "gfx/Ladder Map/gogui-ladder_map",
+                "gfx/Rank Selection/gogui-rank_selection",
                 "dboard/Seki Points/gogui-seki",
                 "string/Final Result/gogui-rules_final_result",
             ]
@@ -595,6 +615,258 @@ class GtpLoop:
                 )
             )
         return True, "\n".join(rows)
+
+
+    # -- generic aliases + tree debug probes (gtp.cc:389-417,567,744-766)
+
+    def _cmd_help(self, args):
+        return self._cmd_list_commands(args)
+
+    def _cmd_analyze(self, args):
+        return True, self._analyze_stream("sayuri-analyze", args, False)
+
+    def _cmd_genmove_analyze(self, args):
+        return True, self._analyze_stream("sayuri-genmove_analyze", args, True)
+
+    def _cmd_debug_search(self, args):
+        """Run a fresh search of N playouts for tree inspection
+        (gtp.cc:744-759: release tree, clear cache, search)."""
+        if not args or not args[0].lstrip("-").isdigit() or int(args[0]) < 1:
+            return False, "invalid playouts"
+        self.agent._drop_tree()
+        self.agent.think(playouts=int(args[0]))
+        return True, "done"
+
+    def _cmd_debug_moves(self, args):
+        """Per-move root statistics for the given vertices
+        (Search::GetDebugMoves, gtp.cc:760-766)."""
+        import numpy as np
+
+        size = self.agent.size
+        try:
+            moves = [gtp_to_vertex(a, size) for a in args]
+        except ValueError:
+            return False, "invalid vertex"
+        tree, _ = self.agent.think(playouts=self.agent.playouts)
+        visits = np.asarray(tree.visits)[0]
+        child = np.asarray(tree.child)[0, 0]
+        prior = np.asarray(tree.prior)[0, 0]
+        stats = np.asarray(tree.stats)[0]
+        lines = []
+        for v in moves:
+            a = size * size if v < 0 else v
+            c = child[a]
+            line = f"move {vertex_to_gtp(a, size)} prior {prior[a]:.4f}"
+            if c >= 0:
+                nv = max(visits[c], 1)
+                wl = stats[c, 1] / nv
+                line += f" visits {int(visits[c])} wl {wl:.4f}"
+            else:
+                line += " visits 0"
+            lines.append(line)
+        return True, "\n".join(lines)
+
+    # -- gogui rating/influence family (gtp.cc:789-1010) ----------------
+
+    @staticmethod
+    def _gogui_color(val, vtx):
+        """COLOR #rrggbb VTX (gogui_helper.cc:120-127 value->hue ramp)."""
+        import colorsys
+
+        val = min(1.0, max(0.0, float(val)))
+        # hue 240 (blue, 0.0) -> 0 (red, 1.0), like ValueToColor
+        r, g, b = colorsys.hsv_to_rgb((1.0 - val) * 240.0 / 360.0, 1.0, 1.0)
+        return f"COLOR #{int(r*255):02x}{int(g*255):02x}{int(b*255):02x} {vtx}"
+
+    @staticmethod
+    def _gogui_label(val, vtx):
+        val = min(1.0, max(0.0, float(val)))
+        return f"LABEL {vtx} {int(val * 100.0)}"
+
+    def _cmd_gogui_wdl_rating(self, args):
+        """Win-draw-loss labels: one BATCHED forward over all candidate
+        children instead of the reference's serial play/eval/undo loop
+        (gtp.cc:789-817)."""
+        import numpy as np
+
+        evals = self.agent.raw_nn()
+        size = self.agent.size
+        nn = size * size
+        probs = evals["priors"][:nn]
+        cand = [i for i in range(nn) if probs[i] > 1.0 / nn]
+        legal = np.asarray(
+            __import__("jax").jit(
+                __import__("jax").vmap(self.agent.env.legal_action_mask)
+            )(self.agent.state)
+        )[0]
+        cand = [i for i in cand if legal[i]]
+        if not cand:
+            return True, ""
+        wl = self.agent.eval_children_wl(cand)
+        out = [
+            self._gogui_label(1.0 - w, vertex_to_gtp(v, size))
+            for v, w in zip(cand, wl)
+        ]
+        return True, "\n".join(out)
+
+    def _cmd_gogui_policy_rating(self, args):
+        """LABEL ratings for moves above average policy + pass text
+        (gtp.cc:860-930). Optional offset arg selects the policy head:
+        normal|opponent|soft|softopponent|optimistic."""
+        size = self.agent.size
+        nn = size * size
+        offset = args[0] if args else "normal"
+        key = {
+            "normal": "prob", "opponent": "aux_prob", "soft": "soft_prob",
+            "softopponent": "soft_aux_prob", "optimistic": "optimistic_prob",
+        }.get(offset)
+        if key is None:
+            return False, "invalid policy offset"
+        heads = self.agent.raw_heads()
+        if heads is not None:
+            probs = heads[key]
+        else:  # dummy network: only the search prior is available
+            probs = self.agent.raw_nn()["priors"]
+        board, ppass = probs[:nn], float(probs[nn])
+        best, lines = -1, []
+        for i in range(nn):
+            if board[i] > 1.0 / nn:
+                if best < 0 or board[i] > board[best]:
+                    best = i
+                lines.append(
+                    self._gogui_label(board[i], vertex_to_gtp(i, size))
+                )
+        var = ""
+        if best >= 0:
+            c = "b" if self.agent.to_move() == 0 else "w"
+            var = f"VAR {c} {vertex_to_gtp(best, size)}\n"
+        body = var + "\n".join(lines)
+        body += f"\nTEXT pass {100.0 * ppass:3.2f}%"
+        return True, body
+
+    def _cmd_gogui_ownership_influence(self, args):
+        """INFLUENCE map from the net (0 playouts) or MCTS root ownership
+        (gtp.cc:976-1004)."""
+        import numpy as np
+
+        playouts = int(args[0]) if args and args[0].isdigit() else 0
+        size = self.agent.size
+        nn = size * size
+        if playouts > 0:
+            self.agent._drop_tree()
+            tree, _ = self.agent.think(playouts=playouts)
+            own = np.asarray(tree.root_ownership)[0][:nn]
+        else:
+            own = self.agent.raw_nn()["black_ownership"][:nn]
+        if self.agent.to_move() == 1:
+            own = -own
+        parts = ["INFLUENCE"]
+        for i in range(nn):
+            parts.append(f"{vertex_to_gtp(i, size)} {own[i]:.1f}")
+        return True, " ".join(parts)
+
+    def _cmd_gogui_book_rating(self, args):
+        """Book move frequencies as labels (gtp.cc:931-953)."""
+        import jax
+
+        from sayuri_tpu.game.book import _hash_key
+
+        book = self.agent.book
+        if book is None:
+            return True, ""
+        state0 = jax.tree.map(lambda x: x[0], self.agent.state)
+        moves = book.table.get(_hash_key(state0))
+        if not moves:
+            return True, ""
+        size = self.agent.size
+        total = sum(moves.values()) or 1
+        moves = sorted(moves.items(), key=lambda mc: -mc[1])
+        c = "b" if self.agent.to_move() == 0 else "w"
+        lines = [f"VAR {c} {vertex_to_gtp(int(moves[0][0]), size)}"]
+        for v, cnt in moves:
+            lines.append(
+                self._gogui_label(cnt / total, vertex_to_gtp(int(v), size))
+            )
+        return True, "\n".join(lines)
+
+    def _cmd_gogui_gammas_heatmap(self, args):
+        """Pattern-gamma policy colors (gtp.cc:954-975)."""
+        gp = self.agent.gammas_policy_map()
+        if gp is None:
+            return False, "no patterns loaded"
+        size = self.agent.size
+        out = []
+        for i in range(size * size):
+            v = float(gp[i])
+            if v > 1e-4:
+                v = v ** 0.5
+            out.append(self._gogui_color(v, vertex_to_gtp(i, size)))
+        return True, "\n".join(out)
+
+    def _cmd_gogui_gammas_rating(self, args):
+        gp = self.agent.gammas_policy_map()
+        if gp is None:
+            return False, "no patterns loaded"
+        size = self.agent.size
+        nn = size * size
+        best, lines = -1, []
+        for i in range(nn):
+            if gp[i] > 1.0 / nn:
+                if best < 0 or gp[i] > gp[best]:
+                    best = i
+                lines.append(self._gogui_label(gp[i], vertex_to_gtp(i, size)))
+        out = []
+        if best >= 0:
+            c = "b" if self.agent.to_move() == 0 else "w"
+            out.append(f"VAR {c} {vertex_to_gtp(best, size)}")
+        return True, "\n".join(out + lines)
+
+    def _cmd_gogui_ladder_map(self, args):
+        """Ladder feature colors: atari .2 / take .4 / escapable .8 /
+        death 1.0 (gtp.cc:1010-1040, LadderType coloring)."""
+        import jax
+        import numpy as np
+
+        from sayuri_tpu.game import ladder as L
+
+        size = self.agent.size
+        planes = np.asarray(
+            jax.jit(
+                lambda s: L.ladder_planes_batch(s.stones, s.size, s.ko)
+            )(self.agent.state)
+        )[0]
+        # encoder plane order: [death, escapable, atari, take]
+        colors = {0: 1.0, 1: 0.8, 2: 0.2, 3: 0.4}
+        out = []
+        for i in range(size * size):
+            y, x = divmod(i, size)
+            val = 0.0
+            for p, c in colors.items():
+                if planes[y, x, p] > 0:
+                    val = c
+                    break
+            out.append(self._gogui_color(val, vertex_to_gtp(i, size)))
+        return True, "\n".join(out)
+
+    def _cmd_gogui_rank_selection(self, args):
+        """Rank labels of the search's top moves (listed in
+        commands_list.h:135; unimplemented in the reference binary — here:
+        1-based visit ranking of the root children)."""
+        import numpy as np
+
+        size = self.agent.size
+        tree, _ = self.agent.think(playouts=self.agent.playouts)
+        child = np.asarray(tree.child)[0, 0][: size * size]
+        visits = np.asarray(tree.visits)[0]
+        pairs = [
+            (int(visits[c]), a) for a, c in enumerate(child) if c >= 0
+        ]
+        pairs.sort(reverse=True)
+        out = []
+        for rank, (nv, a) in enumerate(pairs[:9], 1):
+            if nv > 0:
+                out.append(f"LABEL {vertex_to_gtp(a, size)} {rank}")
+        return True, "\n".join(out)
 
     def _cmd_selfplay_genmove(self, args):
         """Self-play-policy move recorded into the training buffer: the

@@ -117,3 +117,43 @@ class TestAnalyzeOptions:
         )[0]
         ok, _ = loop.execute("sayuri-setoption name bogus value 1")
         assert not ok
+
+
+class TestGoguiRatings:
+    """The gogui rating/influence/debug command family
+    (gtp.cc:744-1040)."""
+
+    @pytest.fixture(scope="class")
+    def lp(self):
+        from sayuri_tpu.gtp.loop import GtpLoop
+
+        return GtpLoop(boardsize=5, komi=4.5, playouts=8, max_nodes=16)
+
+    def test_aliases_and_debug(self, lp):
+        lp.execute("clear_board")
+        lp.execute("play b C3")
+        ok, body = lp.execute("help")
+        assert ok and "genmove" in body
+        assert lp.execute("debug_search 8") == (True, "done")
+        ok, body = lp.execute("debug_moves C4 pass")
+        assert ok and "move C4 prior" in body and "move pass" in body
+        ok, _ = lp.execute("debug_search -3")
+        assert not ok
+
+    def test_rating_family(self, lp):
+        ok, body = lp.execute("gogui-wdl_rating")
+        assert ok and (body == "" or body.startswith("LABEL "))
+        ok, body = lp.execute("gogui-policy_rating normal")
+        assert ok and "TEXT pass" in body
+        ok, _ = lp.execute("gogui-policy_rating bogus")
+        assert not ok
+        ok, body = lp.execute("gogui-ownership_influence 0")
+        assert ok and body.startswith("INFLUENCE ")
+        ok, body = lp.execute("gogui-ladder_map")
+        assert ok and body.startswith("COLOR #")
+        ok, body = lp.execute("gogui-rank_selection")
+        assert ok and "LABEL" in body
+        ok, body = lp.execute("gogui-book_rating")
+        assert ok  # empty without a loaded book
+        ok, body = lp.execute("gogui-analyze_commands")
+        assert ok and "gogui-wdl_rating" in body
