@@ -118,7 +118,8 @@ def main():
     dummy = dummy.at[..., -1].set(1.0)
     variables = net.init(jax.random.PRNGKey(0), dummy, train=False)
 
-    eval_fn = make_eval_fn(env, net, variables)
+    # random-symmetry leaf ensembling on, like real play (node.cc:146)
+    eval_fn = make_eval_fn(env, net, variables, symmetry="random")
     cfg = SearchConfig(max_nodes=playouts + 16, max_depth=64)
     mcts = MCTS(env, eval_fn, cfg)
 

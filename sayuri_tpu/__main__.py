@@ -89,7 +89,9 @@ def run_benchmark(opts: Options):
 
         net_cfg, variables = weights_io.load_checkpoint_for_inference(wf)
         net_cfg = NetConfig(**{**net_cfg.__dict__, "boardsize": boardsize})
-        eval_fn = make_eval_fn(env, SayuriNet(net_cfg), variables)
+        eval_fn = make_eval_fn(
+            env, SayuriNet(net_cfg), variables, symmetry="random"
+        )
     else:
         eval_fn = make_dummy_eval_fn(env)
 

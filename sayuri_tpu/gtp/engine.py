@@ -69,6 +69,8 @@ class Agent:
         patterns_file: str | None = None,
         gammas_policy_factor: float = 0.0,
         use_rollout: bool = False,
+        symmetry_ensemble: bool = True,
+        policy_temp: float = 1.0,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -102,6 +104,8 @@ class Agent:
         # MC-rollout ownership fallback (--use-rollout, rollout.h,
         # node.cc:342-347)
         self.use_rollout = use_rollout
+        self.symmetry_ensemble = symmetry_ensemble
+        self.policy_temp = float(policy_temp)
         self._np_rng = np.random.RandomState(seed)
         self._build(boardsize, komi)
 
@@ -115,10 +119,27 @@ class Agent:
         self.rule = rule
         if self.variables is not None and self.net_cfg is not None:
             net = SayuriNet(self.net_cfg)
-            self.eval_fn = make_eval_fn(self.env, net, self.variables)
+            # search queries ensemble over a random symmetry per leaf
+            # (Network::kRandom, node.cc:146); debug probes (raw_nn,
+            # wdl_rating) use the direct evaluator (kDirect, gtp.cc:789)
+            sym = "random" if self.symmetry_ensemble else 0
+            self.eval_fn = make_eval_fn(
+                self.env, net, self.variables, symmetry=sym,
+                policy_temp=self.policy_temp,
+            )
+            self.eval_fn_direct = make_eval_fn(
+                self.env, net, self.variables, symmetry=0,
+                policy_temp=self.policy_temp,
+            )
+            self.eval_fn_avg = make_eval_fn(
+                self.env, net, self.variables, symmetry="average",
+                policy_temp=self.policy_temp,
+            )
             self.has_net = True
         else:
             self.eval_fn = make_dummy_eval_fn(self.env)
+            self.eval_fn_direct = self.eval_fn
+            self.eval_fn_avg = self.eval_fn
             self.has_net = False
         if getattr(self, "use_rollout", False):
             from sayuri_tpu.mcts.rollout import wrap_eval_with_rollout
@@ -905,10 +926,12 @@ class Agent:
             return f"B+{abs(score):g}"
         return f"W+{abs(score):g}"
 
-    def raw_nn(self):
+    def raw_nn(self, use_avg: bool = False):
         """Raw network heads at the current position (sayuri-raw_nn,
-        gtp.cc:603-620)."""
-        evals = self.eval_fn(self.state, None)
+        gtp.cc:603-620): direct symmetry, or the 8-fold average ensemble
+        when `use_avg` (gtp.cc:615)."""
+        fn = self.eval_fn_avg if use_avg else self.eval_fn_direct
+        evals = fn(self.state, None)
         return jax.tree.map(lambda x: np.asarray(x)[0], evals._asdict())
 
     def raw_heads(self):
@@ -940,7 +963,7 @@ class Agent:
             self.state,
         )
         children = jax.jit(jax.vmap(self.env.step))(base, acts)
-        evals = self.eval_fn(children, None)
+        evals = self.eval_fn_direct(children, None)
         # black_wl -> mover's perspective
         wl = np.asarray(evals.black_wl)
         if int(np.asarray(self.state.to_move)[0]) == 1:

@@ -429,7 +429,10 @@ class GtpLoop:
         return True, self.agent.planes_str()
 
     def _cmd_sayuri_raw_nn(self, args):
-        evals = self.agent.raw_nn()
+        # optional symmetry arg: 0-7 (direct, transformed) or "avg"
+        # (8-fold ensemble average, gtp.cc:610-620)
+        use_avg = bool(args) and args[0].lower() in ("avg", "8")
+        evals = self.agent.raw_nn(use_avg=use_avg)
         out = []
         size = self.agent.size
         probs = evals["priors"]

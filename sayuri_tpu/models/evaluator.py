@@ -31,13 +31,25 @@ def make_eval_fn(
     net: SayuriNet,
     variables,
     policy_temp: float = 1.0,
-    symmetry: int = 0,
+    symmetry: int | str = 0,
     ladder_mode: str = "root",
+    sym_seed: int = 0,
 ):
     """Build eval_fn(states [B], ctx) -> NetEvals. `variables` holds
-    {'params', 'batch_stats'}; `symmetry` is a static symmetry index
-    (0 = identity; callers wanting random-symmetry ensembling pick the
-    index per call and rebuild via the cached inner function).
+    {'params', 'batch_stats'}.
+
+    `symmetry`:
+    - int in [0, 8): a fixed symmetry index (0 = identity, Network::kDirect)
+    - "random": random-symmetry leaf ensembling — every query is evaluated
+      under its own dihedral transform and the spatial outputs are
+      inverse-transformed (Network::kRandom, network.cc:238-245; the search
+      evaluates EVERY leaf this way, node.cc:146). The draw is a pure
+      function of the position hash (see symmetry.random_symmetries) so
+      results stay deterministic and cache-coherent. `ctx["sym"]` ([B]
+      int32), when present, overrides the draw (tests / debug).
+    - "average": evaluate all 8 symmetries and average the outputs
+      (Network::kAverage, network.cc:258-283; the sayuri-raw_nn avg probe,
+      gtp.cc:615).
 
     `ladder_mode` controls the ladder feature planes (encoder.cc:248-265),
     the single most expensive board analysis:
@@ -100,16 +112,6 @@ def make_eval_fn(
                 analysis["safe"],
                 analysis["score_ownership"],
             )  # [B, n, n, 43]
-        if symmetry:
-            planes = S.transform_planes(planes, symmetry)
-        out = net.apply(variables, planes, train=False)
-
-        prob = out["prob"]
-        ownership = out["ownership"]
-        if symmetry:
-            prob = S.inverse_transform_policy(prob, symmetry, n)
-            ownership = S.inverse_transform_policy(ownership, symmetry, n)
-
         if analysis is not None:
             board_legal = analysis["legal"] & ~states.terminated[:, None]
             legal = jnp.concatenate(
@@ -118,26 +120,77 @@ def make_eval_fn(
             )
         else:
             legal = jax.vmap(env.legal_action_mask)(states)
-        logits = jnp.where(legal, prob / policy_temp, -jnp.inf)
-        priors = jax.nn.softmax(logits, axis=-1)
-        priors = jnp.where(legal, priors, 0.0)
 
-        wdl = jax.nn.softmax(out["wdl"], axis=-1)
-        stm_wl = (wdl[:, 0] - wdl[:, 2] + 1.0) / 2.0
-        stm_score = out["scores"][:, 0]
+        def postprocess(prob, wdl_logits, stm_score, ownership):
+            """(prob logits, wdl logits, stm score, ownership) -> NetEvals
+            (output mapping of blas_forward_pipe.cc:566-620)."""
+            logits = jnp.where(legal, prob / policy_temp, -jnp.inf)
+            priors = jax.nn.softmax(logits, axis=-1)
+            priors = jnp.where(legal, priors, 0.0)
+            wdl = jax.nn.softmax(wdl_logits, axis=-1)
+            stm_wl = (wdl[:, 0] - wdl[:, 2] + 1.0) / 2.0
+            is_black = states.to_move == 0
+            black_wl = jnp.where(is_black, stm_wl, 1.0 - stm_wl)
+            black_score = jnp.where(is_black, stm_score, -stm_score)
+            black_ownership = (
+                ownership * jnp.where(is_black, 1.0, -1.0)[:, None]
+            )
+            return NetEvals(
+                priors=priors,
+                black_wl=black_wl,
+                draw=wdl[:, 1],
+                black_score=black_score,
+                black_ownership=black_ownership,
+            )
 
-        is_black = states.to_move == 0
-        black_wl = jnp.where(is_black, stm_wl, 1.0 - stm_wl)
-        black_score = jnp.where(is_black, stm_score, -stm_score)
-        black_ownership = ownership * jnp.where(is_black, 1.0, -1.0)[:, None]
+        if symmetry == "average":
+            # Network::kAverage (network.cc:258-283): evaluate all 8
+            # symmetries, average the ACTIVATED outputs
+            acc = None
+            for s in range(8):
+                out = net.apply(
+                    variables, S.transform_planes(planes, s), train=False
+                )
+                ev = postprocess(
+                    S.inverse_transform_policy(out["prob"], s, n),
+                    out["wdl"],
+                    out["scores"][:, 0],
+                    S.inverse_transform_policy(out["ownership"], s, n),
+                )
+                acc = ev if acc is None else jax.tree.map(
+                    lambda a, b: a + b, acc, ev
+                )
+            acc = jax.tree.map(lambda a: a / 8.0, acc)
+            # renormalize the averaged priors over legal moves
+            pri = jnp.where(legal, acc.priors, 0.0)
+            pri = pri / jnp.maximum(jnp.sum(pri, -1, keepdims=True), 1e-12)
+            return acc._replace(priors=pri)
 
-        return NetEvals(
-            priors=priors,
-            black_wl=black_wl,
-            draw=wdl[:, 1],
-            black_score=black_score,
-            black_ownership=black_ownership,
-        )
+        if symmetry == "random":
+            # Network::kRandom (network.cc:243-245, node.cc:146): one
+            # dihedral transform per query, drawn from the position hash
+            if ctx is not None and "sym" in ctx:
+                syms = ctx["sym"]
+            else:
+                syms = S.random_symmetries(states, sym_seed)
+            planes = S.transform_planes_batch(planes, syms)
+            out = net.apply(variables, planes, train=False)
+            return postprocess(
+                S.inverse_transform_policy_batch(out["prob"], syms, n),
+                out["wdl"],
+                out["scores"][:, 0],
+                S.inverse_transform_policy_batch(out["ownership"], syms, n),
+            )
+
+        if symmetry:
+            planes = S.transform_planes(planes, symmetry)
+        out = net.apply(variables, planes, train=False)
+        prob = out["prob"]
+        ownership = out["ownership"]
+        if symmetry:
+            prob = S.inverse_transform_policy(prob, symmetry, n)
+            ownership = S.inverse_transform_policy(ownership, symmetry, n)
+        return postprocess(prob, out["wdl"], out["scores"][:, 0], ownership)
 
     return eval_fn
 

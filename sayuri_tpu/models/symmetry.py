@@ -15,7 +15,10 @@ the forward transform).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def transform_planes(x, sym: int):
@@ -59,3 +62,87 @@ def inverse_transform_policy(p, sym: int, n: int):
     if has_pass:
         return jnp.concatenate([spatial, p[..., n * n :]], axis=-1)
     return spatial
+
+
+# ---------------------------------------------------------------------------
+# Per-row (batched, traced symmetry index) transforms — the random-symmetry
+# leaf ensembling path (Network::kRandom, network.cc:238-245 + node.cc:146):
+# every query draws its own dihedral transform, so the transform index is a
+# traced [B] array. Implemented as flat gathers through precomputed
+# permutation tables (one [B, HW] take_along_axis instead of 8 branch arms).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _perm_tables(n: int):
+    """(fwd [8, n*n], inv [8, n*n]) int32 gather tables.
+
+    ``out_flat = x_flat[fwd[s]]`` equals ``transform_planes(x, s)`` and
+    ``x_flat = out_flat[inv[s]]`` inverts it."""
+
+    def np_transform(a, s):
+        if s & 4:
+            a = a.T
+        if s & 2:
+            a = a[::-1, :]
+        if s & 1:
+            a = a[:, ::-1]
+        return a
+
+    iota = np.arange(n * n).reshape(n, n)
+    fwd = np.stack(
+        [np_transform(iota, s).reshape(-1) for s in range(8)]
+    ).astype(np.int32)
+    inv = np.argsort(fwd, axis=-1).astype(np.int32)
+    return fwd, inv
+
+
+def transform_planes_batch(x, syms):
+    """Apply per-row symmetries to [B, H, W, C] planes; `syms` is [B] int32
+    in [0, 8)."""
+    b, h, w, c = x.shape
+    fwd, _ = _perm_tables(h)
+    idx = jnp.asarray(fwd)[syms]  # [B, HW]
+    flat = x.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, idx[:, :, None], axis=1).reshape(x.shape)
+
+
+def transform_policy_batch(p, syms, n: int):
+    """Per-row symmetry on a flat policy [B, n*n(+1)] (pass untouched)."""
+    fwd, _ = _perm_tables(n)
+    idx = jnp.asarray(fwd)[syms]
+    spatial = jnp.take_along_axis(p[:, : n * n], idx, axis=1)
+    if p.shape[-1] == n * n + 1:
+        return jnp.concatenate([spatial, p[:, n * n :]], axis=-1)
+    return spatial
+
+
+def inverse_transform_policy_batch(p, syms, n: int):
+    """Invert `transform_*_batch` on a flat spatial output [B, n*n(+1)]."""
+    _, inv = _perm_tables(n)
+    idx = jnp.asarray(inv)[syms]
+    spatial = jnp.take_along_axis(p[:, : n * n], idx, axis=1)
+    if p.shape[-1] == n * n + 1:
+        return jnp.concatenate([spatial, p[:, n * n :]], axis=-1)
+    return spatial
+
+
+def random_symmetries(states, seed: int = 0):
+    """[B] int32 symmetry draw per query (Random<>::RandFix(8),
+    network.cc:243-245).
+
+    Derived from the position hash instead of a stateful RNG so that (a)
+    the draw needs no threaded rng state in the jitted search and (b) the
+    NN cache stays coherent: the reference caches the post-ensemble result
+    (network.cc:283-287), so a re-queried position must see the SAME
+    symmetry its cached entry was computed under."""
+    h = states.hash  # [B, 2] uint32
+    mix = (
+        h[:, 0] * jnp.uint32(2654435761)
+        ^ h[:, 1] * jnp.uint32(2246822519)
+        ^ jnp.uint32(seed) * jnp.uint32(3266489917)
+        ^ states.to_move.astype(jnp.uint32) * jnp.uint32(668265263)
+    )
+    mix = mix ^ (mix >> 15)
+    mix = mix * jnp.uint32(2246822519)
+    return (mix >> 29).astype(jnp.int32)

@@ -499,7 +499,7 @@ class SelfplayActor:
         tree = move = None
         import numpy as np
 
-        qtotals = np.zeros((3,), np.int64)  # queries, hits, forward rows
+        qtotals = np.zeros((4,), np.int64)  # queries, hits, dups, fwd rows
         for t in range(max_moves):
             rng, sub = jax.random.split(rng)
             if tree is None or not self.reuse_tree:
@@ -521,6 +521,7 @@ class SelfplayActor:
                     [
                         int(jnp.sum(tree.cache.queries)),
                         int(jnp.sum(tree.cache.hits)),
+                        int(jnp.sum(tree.cache.dups)),
                         int(tree.cache.forward_rows),
                     ],
                     np.int64,
@@ -534,7 +535,8 @@ class SelfplayActor:
         self.last_query_stats = dict(
             queries=int(qtotals[0]),
             hits=int(qtotals[1]),
-            forward_rows=int(qtotals[2]),
+            dups=int(qtotals[2]),
+            forward_rows=int(qtotals[3]),
         )
         return states, records
 

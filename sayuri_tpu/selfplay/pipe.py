@@ -117,7 +117,10 @@ class SelfPlayPipe:
             net = SayuriNet(
                 type(net_cfg)(**{**net_cfg.__dict__, "boardsize": self.env.n})
             )
-            eval_fn = make_eval_fn(self.env, net, variables)
+            # random-symmetry leaf ensembling, like all reference search
+            # queries (Network::kRandom, node.cc:146)
+            eval_fn = make_eval_fn(self.env, net, variables,
+                                   symmetry="random")
             self.current_weights = path
         else:
             eval_fn = make_dummy_eval_fn(self.env)
@@ -247,7 +250,9 @@ class SelfPlayPipe:
         mcts/nncache.py. Fallback (cache off): the round-1 estimate."""
         stats = getattr(self.actor, "last_query_stats", None)
         if stats is not None and stats["queries"] > 0:
-            total = stats["queries"] - stats["hits"]
+            total = (
+                stats["queries"] - stats["hits"] - stats.get("dups", 0)
+            )
         else:
             # one eval per playout per active lane + one root eval per move
             total = 0

@@ -260,8 +260,81 @@ class TestNNCache:
         t2 = go(states, t1.cache)
         h2 = np.asarray(t2.cache.hits) - h
         q2 = np.asarray(t2.cache.queries) - q
-        assert (h2 > 0.5 * q2).all()
+        d2 = np.asarray(t2.cache.dups) - np.asarray(t1.cache.dups)
+        # warm rerun: everything is served by a hit or an in-batch dup
+        assert ((h2 + d2) > 0.8 * q2).all(), (h2, d2, q2)
+        assert (h2 + d2 > 0).all()
         np.testing.assert_array_equal(
             np.asarray(mcts.root_child_visits(t1)),
             np.asarray(mcts.root_child_visits(t2)),
         )
+
+    def test_cross_lane_sharing(self):
+        """An entry inserted while serving lane i hits when lane j later
+        queries the same position — the shared-cache property of
+        cache.h:42-60 that a per-lane cache cannot provide."""
+        from sayuri_tpu.mcts import nncache as NC
+        from sayuri_tpu.mcts.core import NetEvals
+
+        env = GoEnv(n=5)
+        calls = []
+
+        def eval_fn(states, ctx=None):
+            b = states.stones.shape[0]
+            calls.append(b)
+            return NetEvals(
+                priors=jnp.ones((b, 26)) / 26.0,
+                black_wl=jnp.full((b,), 0.5),
+                draw=jnp.zeros((b,)),
+                black_score=jnp.zeros((b,)),
+                black_ownership=jnp.zeros((b, 25)),
+            )
+
+        base = env.new_batch(4, komi=7.5)
+        pos_a = jax.vmap(env.step)(
+            base, jnp.asarray([7, 7, 7, 7], jnp.int32)
+        )
+        cache = NC.make_cache(4, 64, 26, 25)
+        # only lane 0 live: inserts position A once
+        live0 = jnp.asarray([True, False, False, False])
+        _, cache = NC.cached_eval(cache, eval_fn, pos_a, None, live=live0)
+        np.testing.assert_array_equal(np.asarray(cache.hits), [0, 0, 0, 0])
+        # now lanes 1-3 query the same position: all hit lane 0's entry
+        live123 = jnp.asarray([False, True, True, True])
+        _, cache = NC.cached_eval(cache, eval_fn, pos_a, None, live=live123)
+        np.testing.assert_array_equal(np.asarray(cache.hits), [0, 1, 1, 1])
+
+    def test_two_way_association_survives_collision(self):
+        """Two distinct keys hashing to the same set coexist (2-way), and a
+        third evicts the oldest generation (cache.h generation eviction)."""
+        from sayuri_tpu.mcts import nncache as NC
+        from sayuri_tpu.mcts.core import NetEvals
+
+        b = 1
+        cache = NC.make_cache(b, 8, 4, 4)
+
+        def ev(v):
+            return NetEvals(
+                priors=jnp.full((b, 4), v),
+                black_wl=jnp.full((b,), v),
+                draw=jnp.zeros((b,)),
+                black_score=jnp.zeros((b,)),
+                black_ownership=jnp.zeros((b, 4)),
+            )
+
+        def key(k0):
+            return jnp.asarray([[k0, k0 * 7 + 1]], jnp.uint32)
+
+        # keys 8, 16, 24 all map to set 0 (k % 8 == 0)
+        ones = jnp.ones((b,), bool)
+        cache = NC.insert(cache, key(8), ev(0.1), ones)
+        cache = NC.insert(cache, key(16), ev(0.2), ones)
+        h8, _, _ = NC.probe(cache, key(8))
+        h16, _, _ = NC.probe(cache, key(16))
+        assert bool(h8[0]) and bool(h16[0])
+        # third collision evicts the OLDEST (key 8), keeps key 16
+        cache = NC.insert(cache, key(24), ev(0.3), ones)
+        h8, _, _ = NC.probe(cache, key(8))
+        h16, _, _ = NC.probe(cache, key(16))
+        h24, _, _ = NC.probe(cache, key(24))
+        assert not bool(h8[0]) and bool(h16[0]) and bool(h24[0])
