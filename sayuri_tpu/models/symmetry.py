@@ -68,17 +68,18 @@ def inverse_transform_policy(p, sym: int, n: int):
 # Per-row (batched, traced symmetry index) transforms — the random-symmetry
 # leaf ensembling path (Network::kRandom, network.cc:238-245 + node.cc:146):
 # every query draws its own dihedral transform, so the transform index is a
-# traced [B] array. Implemented as flat gathers through precomputed
-# permutation tables (one [B, HW] take_along_axis instead of 8 branch arms).
+# traced [B] array. Implemented as three flip/transpose + per-row select
+# steps: XLA lowers reverses/transposes to layout copies, which measure
+# ~100x faster on TPU than the equivalent per-row [B, HW] gather inside the
+# fused eval graph (the gather forced a bad layout on the conv input).
 # ---------------------------------------------------------------------------
 
 
 @lru_cache(maxsize=None)
 def _perm_tables(n: int):
-    """(fwd [8, n*n], inv [8, n*n]) int32 gather tables.
-
-    ``out_flat = x_flat[fwd[s]]`` equals ``transform_planes(x, s)`` and
-    ``x_flat = out_flat[inv[s]]`` inverts it."""
+    """(fwd [8, n*n], inv [8, n*n]) int32 permutation tables (tests /
+    reference cross-checks): ``out_flat = x_flat[fwd[s]]`` equals
+    ``transform_planes(x, s)`` and ``x_flat = out_flat[inv[s]]`` inverts."""
 
     def np_transform(a, s):
         if s & 4:
@@ -97,34 +98,48 @@ def _perm_tables(n: int):
     return fwd, inv
 
 
+def _spatial_transform_batch(x, syms, inverse: bool):
+    """Per-row dihedral transform of [B, ..., H, W] (trailing dims after
+    H, W allowed via ndim bookkeeping by callers reshaping to [B, H, W] or
+    [B, H, W, C])."""
+    sb = syms.reshape(syms.shape + (1,) * (x.ndim - 1))
+    ops = [
+        lambda a: jnp.swapaxes(a, -3 if a.ndim >= 4 else -2,
+                               -2 if a.ndim >= 4 else -1),
+        lambda a: jnp.flip(a, axis=-3 if a.ndim >= 4 else -2),
+        lambda a: jnp.flip(a, axis=-2 if a.ndim >= 4 else -1),
+    ]
+    bits = (4, 2, 1)
+    order = range(3) if not inverse else reversed(range(3))
+    for i in order:
+        x = jnp.where((sb & bits[i]) != 0, ops[i](x), x)
+    return x
+
+
 def transform_planes_batch(x, syms):
     """Apply per-row symmetries to [B, H, W, C] planes; `syms` is [B] int32
     in [0, 8)."""
-    b, h, w, c = x.shape
-    fwd, _ = _perm_tables(h)
-    idx = jnp.asarray(fwd)[syms]  # [B, HW]
-    flat = x.reshape(b, h * w, c)
-    return jnp.take_along_axis(flat, idx[:, :, None], axis=1).reshape(x.shape)
+    return _spatial_transform_batch(x, syms, inverse=False)
+
+
+def _policy_spatial_batch(p, syms, n: int, inverse: bool):
+    b = p.shape[0]
+    sp = _spatial_transform_batch(
+        p[:, : n * n].reshape(b, n, n), syms, inverse
+    ).reshape(b, n * n)
+    if p.shape[-1] == n * n + 1:
+        return jnp.concatenate([sp, p[:, n * n :]], axis=-1)
+    return sp
 
 
 def transform_policy_batch(p, syms, n: int):
     """Per-row symmetry on a flat policy [B, n*n(+1)] (pass untouched)."""
-    fwd, _ = _perm_tables(n)
-    idx = jnp.asarray(fwd)[syms]
-    spatial = jnp.take_along_axis(p[:, : n * n], idx, axis=1)
-    if p.shape[-1] == n * n + 1:
-        return jnp.concatenate([spatial, p[:, n * n :]], axis=-1)
-    return spatial
+    return _policy_spatial_batch(p, syms, n, inverse=False)
 
 
 def inverse_transform_policy_batch(p, syms, n: int):
     """Invert `transform_*_batch` on a flat spatial output [B, n*n(+1)]."""
-    _, inv = _perm_tables(n)
-    idx = jnp.asarray(inv)[syms]
-    spatial = jnp.take_along_axis(p[:, : n * n], idx, axis=1)
-    if p.shape[-1] == n * n + 1:
-        return jnp.concatenate([spatial, p[:, n * n :]], axis=-1)
-    return spatial
+    return _policy_spatial_batch(p, syms, n, inverse=True)
 
 
 def random_symmetries(states, seed: int = 0):
