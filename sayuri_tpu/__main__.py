@@ -23,6 +23,9 @@ def run_gtp(opts: Options):
         patterns_file=opts.get("patterns_file") or None,
         gammas_policy_factor=opts.get("gammas_policy_factor"),
         use_rollout=opts.get("use_rollout"),
+        ponder=opts.get("ponder"),
+        kldgain_per_node=opts.get("kldgain_per_node"),
+        kldgain_interval=opts.get("kldgain_interval"),
     )
     wf = opts.get("weights_file")
     if wf:
@@ -32,7 +35,19 @@ def run_gtp(opts: Options):
         kwargs.update(net_cfg=net_cfg, variables=variables)
     from sayuri_tpu.gtp.engine import Agent
 
-    GtpLoop(agent=Agent(**kwargs)).run()
+    agent = Agent(**kwargs)
+    agent.reuse_tree = opts.get("reuse_tree")
+    bf = opts.get("book_file")
+    if bf:
+        from sayuri_tpu.game.book import Book
+
+        agent.book = Book.load(bf)
+    GtpLoop(
+        agent=agent,
+        const_time=opts.get("const_time"),
+        lag_buffer=opts.get("lag_buffer"),
+        resign_threshold=opts.get("resign_threshold"),
+    ).run()
 
 
 def run_selfplay(opts: Options):

@@ -39,6 +39,12 @@ OPTIONS: dict[str, Opt] = {
     "reuse_tree": Opt(True),
     "ponder": Opt(False),
     "resign_threshold": Opt(0.1, 0.0, 1.0),
+    # time-management extras (config.cc:81,113-114) and the opening book
+    # (--book, config.cc:54,795)
+    "lag_buffer": Opt(0.0, 0.0, 60.0),
+    "kldgain_per_node": Opt(0.0, 0.0, 100.0),
+    "kldgain_interval": Opt(0, 0, 1 << 30),
+    "book_file": Opt(""),
     # NN eval cache entries per search lane (the reference sizes its cache
     # in MiB, --cache-memory-mib, network.cc:102-121; here the unit is
     # entries because the store is dense device arrays). 0 disables.
@@ -90,6 +96,9 @@ OPTIONS: dict[str, Opt] = {
     "benchmark_query": Opt("", multi=True),
 }
 
+# reference CLI spellings that differ from the option name (config.cc)
+_ALIASES = {"book": "book_file"}
+
 
 class Options:
     def __init__(self):
@@ -126,6 +135,7 @@ class Options:
             if not tok.startswith("--"):
                 raise ValueError(f"unexpected token {tok!r}")
             name = tok[2:].replace("-", "_")
+            name = _ALIASES.get(name, name)
             if name == "config":
                 self.parse_file(argv[i + 1])
                 i += 2

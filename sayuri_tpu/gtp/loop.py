@@ -75,9 +75,18 @@ def _color_arg(tok):
 
 
 class GtpLoop:
-    def __init__(self, agent: Agent | None = None, **agent_kwargs):
+    def __init__(self, agent: Agent | None = None, const_time: float = 0.0,
+                 lag_buffer: float = 0.0, resign_threshold: float = 0.1,
+                 **agent_kwargs):
         self.agent = agent or Agent(**agent_kwargs)
         self.time = TimeControl()
+        # --const-time bounds the budget when the clock is infinite
+        # (search.cc:313-319); --lag-buffer seeds the adaptive buffer
+        # (config.cc:81, search.cc:438-455)
+        self.const_time = float(const_time)
+        self.lag_buffer_floor = max(float(lag_buffer), 0.0)
+        self.time.lag_buffer = self.lag_buffer_floor
+        self.resign_threshold = min(1.0, max(0.0, float(resign_threshold)))
         self.running = True
 
     # ------------------------------------------------------------------
@@ -237,11 +246,37 @@ class GtpLoop:
 
     def _genmove_budget(self, color):
         """Per-move wall-clock budget from the clock state
-        (Search::ThinkBestMove + GetThinkingTime, search.cc:438-455)."""
+        (Search::ThinkBestMove + GetThinkingTime, search.cc:305-319)."""
+        if self.const_time > 0 and self.time.is_infinite():
+            return self.const_time
         budget = self.time.thinking_time(
             color, self.agent.size, len(self.agent.moves)
         )
         return None if budget == float("inf") else budget
+
+    def _timed_genmove(self, color, **kw):
+        """genmove under the clock: budget + consumption + the adaptive
+        lag-buffer adjustment (Search::UpdateLagBuffer, search.cc:438-455)."""
+        import time as _t
+
+        budget = self._genmove_budget(color)
+        beffect = self.time.buffer_effect(
+            color, self.agent.size, len(self.agent.moves)
+        )
+        t0 = _t.monotonic()
+        move, tree = self.agent.genmove(
+            color,
+            time_budget=budget,
+            resign_threshold=self.resign_threshold,
+            **kw,
+        )
+        elapsed = _t.monotonic() - t0
+        self.time.took_time(color, elapsed)
+        if budget is not None and not self.time.is_infinite():
+            self.time.update_lag_buffer(
+                budget, beffect, elapsed, self.lag_buffer_floor
+            )
+        return move, tree
 
     def _cmd_genmove(self, args):
         color = (
@@ -249,13 +284,7 @@ class GtpLoop:
         )
         if color is None:
             return False, "invalid color"
-        import time as _t
-
-        t0 = _t.monotonic()
-        move, _ = self.agent.genmove(
-            color, time_budget=self._genmove_budget(color)
-        )
-        self.time.consume(color, _t.monotonic() - t0)
+        move, _ = self._timed_genmove(color)
         if move == "resign":
             return True, "resign"
         return True, vertex_to_gtp(
@@ -490,6 +519,26 @@ class GtpLoop:
             if low not in ("true", "false"):
                 return False, "invalid value"
             self.agent.capture_all_dead = low == "true"
+        elif name == "lag buffer":
+            self.lag_buffer_floor = max(0.0, float(value))
+            self.time.lag_buffer = self.lag_buffer_floor
+        elif name == "const time":
+            self.const_time = max(0.0, float(value))
+        elif name in ("cache size", "cache memory mib"):
+            # entries per lane (the reference sizes in MiB,
+            # network.cc:102-121); rebuild the search with the new cache
+            import dataclasses as _dc
+
+            from sayuri_tpu.mcts.core import MCTS
+
+            self.agent.search_cfg = _dc.replace(
+                self.agent.search_cfg, nn_cache_size=max(0, int(value))
+            )
+            self.agent.mcts = MCTS(
+                self.agent.env, self.agent.eval_fn, self.agent.search_cfg
+            )
+            self.agent._jit_cache = {}
+            self.agent._drop_tree()
         elif name == "gammas policy factor":
             self.agent.gammas_policy_factor = min(1.0, max(0.0, float(value)))
             self.agent._drop_tree()
@@ -1164,16 +1213,11 @@ class GtpLoop:
                     emit(loop._format_analysis(tree, cfg) + "\n")
 
                 if genmove:
-                    import time as _t
-
-                    t0 = _t.monotonic()
-                    move, tree = agent.genmove(
+                    move, tree = loop._timed_genmove(
                         color,
-                        time_budget=loop._genmove_budget(color),
                         analyze_cb=cb if interval_s > 0 else None,
                         analyze_interval=interval_s,
                     )
-                    loop.time.consume(color, _t.monotonic() - t0)
                     if tree is not None:
                         cb(tree)
                     mv = (
