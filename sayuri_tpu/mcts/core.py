@@ -45,6 +45,76 @@ from sayuri_tpu.game import board as B_
 from sayuri_tpu.game.state import GoEnv, GoState
 
 
+@dataclasses.dataclass(frozen=True)
+class StatePacker:
+    """Packs a GoState pytree into two dtype-grouped flat buffers.
+
+    The tree stores per-node game states. As 17 separate arrays, fetching
+    the leaf's parent state costs 17 small dynamic-row gathers per
+    simulation (~1.8 ms at B=256 on v5e — pure per-gather overhead);
+    packed into one uint8 and one int32 buffer it is 2 gathers (and the
+    expand scatter shrinks the same way). float32/uint32/bool leaves are
+    bitcast/widened in; unpacking is slicing + bitcast, which XLA fuses
+    into the consumers."""
+
+    treedef: Any
+    entries: tuple  # (dtype_str, trailing_shape, group, offset, size)
+    k8: int
+    k32: int
+
+    @staticmethod
+    def build(template) -> "StatePacker":
+        leaves, treedef = jax.tree.flatten(template)
+        entries = []
+        off8 = off32 = 0
+        for leaf in leaves:
+            shp = tuple(leaf.shape[1:])
+            size = int(np.prod(shp)) if shp else 1
+            if leaf.dtype in (jnp.int8, jnp.uint8, jnp.bool_):
+                entries.append((str(leaf.dtype), shp, 8, off8, size))
+                off8 += size
+            else:  # int32 / uint32 / float32
+                entries.append((str(leaf.dtype), shp, 32, off32, size))
+                off32 += size
+        return StatePacker(treedef, tuple(entries), off8, off32)
+
+    def pack(self, states):
+        """states (leading dims L) -> (u8 [*L, k8], i32 [*L, k32])."""
+        leaves = jax.tree.leaves(states)
+        lead = leaves[0].shape[: leaves[0].ndim - len(self.entries[0][1])]
+        p8, p32 = [], []
+        for leaf, (_, shp, group, _, size) in zip(leaves, self.entries):
+            lead = leaf.shape[: leaf.ndim - len(shp)]
+            flat = leaf.reshape(lead + (size,))
+            if group == 8:
+                p8.append(flat.astype(jnp.uint8))
+            else:
+                if flat.dtype != jnp.int32:
+                    flat = lax.bitcast_convert_type(flat, jnp.int32)
+                p32.append(flat)
+        cat = lambda xs, k, dt: (
+            jnp.concatenate(xs, axis=-1)
+            if xs
+            else jnp.zeros(lead + (0,), dt)
+        )
+        return cat(p8, self.k8, jnp.uint8), cat(p32, self.k32, jnp.int32)
+
+    def unpack(self, a8, a32):
+        lead = a8.shape[:-1]
+        leaves = []
+        for dt, shp, group, off, size in self.entries:
+            src = a8 if group == 8 else a32
+            flat = lax.slice_in_dim(src, off, off + size, axis=src.ndim - 1)
+            if dt == "bool":
+                flat = flat.astype(jnp.bool_)
+            elif group == 8:
+                flat = flat.astype(jnp.dtype(dt))
+            elif dt != "int32":
+                flat = lax.bitcast_convert_type(flat, jnp.dtype(dt))
+            leaves.append(flat.reshape(lead + shp))
+        return jax.tree.unflatten(self.treedef, leaves)
+
+
 class NetEvals(NamedTuple):
     """Evaluation of a batch of states, black perspective (the reference's
     NodeEvals, node.h)."""
@@ -169,8 +239,11 @@ class Tree:
     def net_wl(self):
         return self.stats[..., 7]
 
-    # per-node game state (leading dims [B, N])
-    states: GoState
+    # per-node game state (leading dims [B, N]), dtype-group packed
+    # (see StatePacker): ONE gather fetches a parent state per dtype
+    # group instead of one per GoState leaf
+    states_p8: jnp.ndarray   # [B, N, K8] uint8
+    states_p32: jnp.ndarray  # [B, N, K32] int32
 
     # per-tree data [B]
     next_free: jnp.ndarray   # i32
@@ -186,6 +259,15 @@ class Tree:
     # optional NN eval cache (mcts/nncache.py) riding with the search
     # state so it survives tree reuse and game boundaries; None = off
     cache: Any = None
+
+    # static pack/unpack spec for the per-node states
+    state_spec: StatePacker = struct.field(pytree_node=False, default=None)
+
+    @property
+    def states(self) -> GoState:
+        """Per-node GoState view (leading dims [B, N]), unpacked lazily —
+        XLA keeps only the fields a consumer actually reads."""
+        return self.state_spec.unpack(self.states_p8, self.states_p32)
 
     @property
     def num_actions(self) -> int:
@@ -319,13 +401,14 @@ class MCTS:
         slim_roots = root_states.replace(
             hash_history=root_states.hash_history[:, :1, :]
         )
-        states = jax.tree.map(
-            lambda x: jnp.zeros((b, n_nodes) + x.shape[1:], x.dtype),
-            slim_roots,
+        spec = StatePacker.build(slim_roots)
+        root_p8, root_p32 = spec.pack(slim_roots)
+        states_p8 = jnp.zeros((b, n_nodes, spec.k8), jnp.uint8).at[:, 0].set(
+            root_p8
         )
-        states = jax.tree.map(
-            lambda buf, root: buf.at[:, 0].set(root), states, slim_roots
-        )
+        states_p32 = jnp.zeros(
+            (b, n_nodes, spec.k32), jnp.int32
+        ).at[:, 0].set(root_p32)
 
         noise = self._sample_dirichlet(rng, evals.priors)
         gumbel = self._sample_gumbel(rng, evals.priors)
@@ -365,7 +448,9 @@ class MCTS:
             ),
             valid=zeros((b, n_nodes), bool).at[:, 0].set(True),
             black_sb=zeros((b, n_nodes)),
-            states=states,
+            states_p8=states_p8,
+            states_p32=states_p32,
+            state_spec=spec,
             next_free=jnp.ones((b,), jnp.int32),
             root_noise=noise,
             root_ownership=evals.black_ownership,
@@ -714,8 +799,11 @@ class MCTS:
         existing_child = tree.child[b_idx, leaf_parent, leaf_action]
 
         # ---- step env to the leaf (fused step+analysis kernel on TPU) ----
-        parent_states = jax.tree.map(
-            lambda x: x[b_idx, leaf_parent], tree.states
+        # two row gathers (one per dtype group) fetch the packed parent
+        # states; unpack is fused slicing
+        parent_states = tree.state_spec.unpack(
+            tree.states_p8[b_idx, leaf_parent],
+            tree.states_p32[b_idx, leaf_parent],
         )
         child_states, analysis = self.env.step_batch_with_analysis(
             parent_states, leaf_action
@@ -785,49 +873,35 @@ class MCTS:
         reuse_root = tree.terminal[:, 0]
         node_for_stats = jnp.where(reuse_root, 0, node_for_stats)
 
+        # masked rows scatter out of bounds and are DROPPED — no gather of
+        # the old row + select (halves the expand's memory traffic and op
+        # count vs the round-2 gather/where/scatter formulation)
+        child_p8, child_p32 = tree.state_spec.pack(child_states)
+        exp_idx = jnp.where(can_expand, node_for_stats, cfg.max_nodes)
+        exp_act = jnp.where(can_expand, leaf_action, self.A)
+
         def set_node(buf, vals):
-            return buf.at[b_idx, node_for_stats].set(
-                jnp.where(_bcast(can_expand, vals), vals, buf[b_idx, node_for_stats])
-            )
+            return buf.at[b_idx, exp_idx].set(vals, mode="drop")
 
         tree = tree.replace(
-            prior=tree.prior.at[b_idx, node_for_stats].set(
-                jnp.where(
-                    can_expand[:, None],
-                    evals.priors,
-                    tree.prior[b_idx, node_for_stats],
-                )
-            ),
-            child=tree.child.at[b_idx, leaf_parent, leaf_action].set(
-                jnp.where(
-                    can_expand,
-                    node_for_stats,
-                    tree.child[b_idx, leaf_parent, leaf_action],
-                )
+            prior=set_node(tree.prior, evals.priors),
+            child=tree.child.at[b_idx, leaf_parent, exp_act].set(
+                node_for_stats, mode="drop"
             ),
             parent=set_node(tree.parent, leaf_parent),
             parent_action=set_node(tree.parent_action, leaf_action),
             # net_wl lives in stats slot 7; visits/accumulators start at 0
-            stats=tree.stats.at[b_idx, node_for_stats, 7].set(
-                jnp.where(
-                    can_expand,
-                    black_wl,
-                    tree.stats[b_idx, node_for_stats, 7],
-                )
+            stats=tree.stats.at[b_idx, exp_idx, 7].set(
+                black_wl, mode="drop"
             ),
             net_score=set_node(tree.net_score, black_score),
             terminal=set_node(tree.terminal, term),
-            valid=tree.valid.at[b_idx, node_for_stats].set(
-                jnp.where(can_expand, True, tree.valid[b_idx, node_for_stats])
+            valid=tree.valid.at[b_idx, exp_idx].set(True, mode="drop"),
+            states_p8=tree.states_p8.at[b_idx, exp_idx].set(
+                child_p8, mode="drop"
             ),
-            states=jax.tree.map(
-                lambda buf, s: buf.at[b_idx, node_for_stats].set(
-                    jnp.where(
-                        _bcast(can_expand, s), s, buf[b_idx, node_for_stats]
-                    )
-                ),
-                tree.states,
-                child_states,
+            states_p32=tree.states_p32.at[b_idx, exp_idx].set(
+                child_p32, mode="drop"
             ),
             next_free=tree.next_free + can_expand.astype(jnp.int32),
         )
@@ -910,10 +984,10 @@ class MCTS:
             ],
             axis=-1,
         )
-        # masked-out entries scatter a zero delta onto node 0 (harmless)
-        idx_scatter = jnp.where(ok, idx_safe, 0)
+        # masked-out entries scatter out of bounds and are dropped
+        idx_scatter = jnp.where(ok, idx_safe, tree.stats.shape[1])
         tree = tree.replace(
-            stats=tree.stats.at[bb, idx_scatter].add(delta)
+            stats=tree.stats.at[bb, idx_scatter].add(delta, mode="drop")
         )
 
         # root ownership running average (node.cc:724-733)
@@ -1010,12 +1084,8 @@ class MCTS:
             terminal=compact(tree.terminal),
             valid=compact(tree.valid),
             black_sb=compact(tree.black_sb),
-            states=jax.tree.map(
-                lambda x: jnp.zeros_like(x).at[bb, new_id].set(
-                    x, mode="drop"
-                ),
-                tree.states,
-            ),
+            states_p8=compact(tree.states_p8),
+            states_p32=compact(tree.states_p32),
             next_free=count,
         )
 
@@ -1039,12 +1109,10 @@ class MCTS:
         slim = new_root_states.replace(
             hash_history=new_root_states.hash_history[:, :1, :]
         )
+        slim_p8, slim_p32 = tree.state_spec.pack(slim)
         reused = reused.replace(
-            states=jax.tree.map(
-                lambda buf, root: buf.at[:, 0].set(root),
-                reused.states,
-                slim,
-            ),
+            states_p8=reused.states_p8.at[:, 0].set(slim_p8),
+            states_p32=reused.states_p32.at[:, 0].set(slim_p32),
             root_noise=fresh.root_noise,
             root_gumbel=fresh.root_gumbel,
             use_noise=fresh.use_noise,
