@@ -110,7 +110,7 @@ def encode(
     if ladder_planes is None:
         from sayuri_tpu.game import ladder as L
 
-        ladder_planes = L.ladder_planes(state.stones, state.size)
+        ladder_planes = L.ladder_planes(state.stones, state.size, state.ko)
     for k in range(4):
         planes.append(ladder_planes[..., k].astype(jnp.float32))
 

@@ -1,32 +1,58 @@
-"""Pallas ladder-chase kernel.
+"""Exact ladder-reading kernel (bitboard AND-OR search).
 
-The reference reads ladders with a recursive hunter/prey search over an
-incrementally-updated board (/root/reference/src/game/board.cc:484-821).
-The XLA re-derivation (game/ladder.py) replays the same greedy chase with
-full-board label-propagation per ply, which costs seconds per 256-board
-batch — each ply re-runs several O(diameter) fixpoints through XLA ops.
+The reference reads ladders with a recursive hunter/prey minimax over an
+incrementally-updated board (/root/reference/src/game/board.cc:520-821):
+``PreyMove``/``HunterMove`` alternate; each side enumerates its candidate
+moves (``PreySelections``: the escape liberty plus every capture of an
+adjacent hunter chain in atari, legality-filtered, board.cc:519-573;
+``HunterSelections``: the prey's two liberties with pliberty pruning and
+the adjacent-liberties special case, board.cc:575-644) and the board is
+FORKED only at multi-selection points (``next_fork = selections > 1``,
+board.cc:683-688). The prey wins if ANY of its options wins; the hunter
+wins if ANY of its options wins. A shared node budget (kMaxLadderNodes =
+2000, types.h:68) unwinds the whole search as good-for-prey when hit
+(board.cc:655-658).
 
-This kernel runs the SAME greedy chase (ladder.py's exact decision rules,
-cited there against board.cc) with every chase as one lane of a bitboard
-array held in VMEM:
+This module re-derives that search as an ITERATIVE depth-first loop over
+lockstep bitboard lanes so it runs under jit on TPU:
 
-- boards are uint32 bitboards laid out [32 rows, lanes]: row r of lane
-  l's board is the 32-bit word at [r, l]; north/south are sublane rolls,
+- boards are uint32 bitboards laid out [ROWS, lanes]: row r of lane l's
+  board is the 32-bit word at [r, l]; north/south are sublane rolls,
   east/west are bit shifts — a flood-fill iteration is ~10 VPU ops.
-- all candidate chases of a batch run in lockstep (one lane per chase:
-  up to MAX_CHAINS candidate chains x 2 first-hunter branches per board)
-  inside one kernel launch; per-lane convergence is masked.
-- chain-liberty queries flood only the <=8 chains adjacent to the move
-  under test, with a bounded flood (ITER_QUERY dilations) — the analogue
-  of the reference's kMaxLadderNodes cap (types.h:68).
+- every chase is one lane (one per candidate chain x first-hunter
+  branch); all lanes of a batch step in lockstep inside one launch,
+  per-lane convergence masked.
+- the reference's recursion becomes an explicit per-lane FORK STACK in
+  VMEM: frames hold the board snapshot + the untried alternative moves,
+  pushed only at multi-selection points (exactly the reference's
+  ``next_fork`` rule). One loop iteration either DESCENDS one ply (apply
+  the pending move, compute the opposite side's selections/terminals) or
+  RETURNS one frame (propagate a subtree result, try the next
+  alternative or pop). The prey chain itself is NOT stored per frame: it
+  is re-derived by flooding the (static) candidate root through the
+  restored own-stones board.
 
-Documented approximations (all shared with or strictly smaller than
-ladder.py's documented deviations from board.cc):
-- greedy principal variation instead of branch-forking (ladder.py:14-17);
-- query floods are capped at ITER_QUERY dilations: a merged chain longer
-  than that reads as truncated (kMaxLadderNodes-style cap).
-Captures are exact for every move of the chase (prey escapes/snapbacks,
-hunter captures of third-party chains, simple-ko bookkeeping).
+The same search body runs two ways: as a Pallas TPU kernel
+(``run_chases``, `pltpu.roll` for row shifts, where-scan stack access)
+and as plain XLA (``run_chases_xla``, `jnp.roll`, gather/scatter stack
+access) for CPU hosts and differential tests. Both are validated
+chain-by-chain against the recursive oracle port in
+tests/ladder_oracle.py on golden games.
+
+Documented deviations from board.cc (all budget-shaped, not logic-shaped):
+- the 2000-node budget is per candidate lane; the reference shares one
+  budget across the two first-hunter branches of a 2-liberty candidate
+  (board.cc:801-813). Differs only when the budget is hit (exotic
+  positions), where both report good-for-prey anyway.
+- the fork stack holds MAX_FORKS frames; overflow reads as the budget
+  cap (good-for-prey). The deepest fork stack over every golden game is
+  27 (pliberty pruning keeps clean ladders fork-free), so 56 has 2x
+  headroom. Chain-liberty floods run to convergence (exact for snake
+  chains of any length).
+- prey capture moves peel at most 4 adjacent hunter chains that pass the
+  cannot-be-atari pre-filter; with >4 simultaneously capturable chains
+  the extras are dropped, matching the 5-selection slot layout
+  (escape + MAX_ALTS alternatives).
 """
 
 from __future__ import annotations
@@ -42,8 +68,9 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False  # tests flip this to run the kernel on CPU
 
 ROWS = 32          # padded row count (board size <= 19 < 32)
-MAX_CHAINS = 12    # candidate chains per board (matches game/ladder.py)
-ITER_QUERY = 16    # bounded flood for neighbor-chain queries
+MAX_FORKS = 56     # fork-stack frames per lane (observed golden max: 27)
+MAX_ALTS = 4       # stored alternatives per frame (<= 5 selections)
+NODE_CAP = 2000    # kMaxLadderNodes (types.h:68)
 BIGI = 10**9
 
 # chase results (game/ladder.py values)
@@ -51,30 +78,46 @@ UNDECIDED = 0
 PREY_GOOD = 1
 HUNTER_GOOD = 2
 
-_U1 = None  # placeholder to keep linters quiet
+# DFS modes
+DESCEND = 0
+RETURN = 1
 
 
 def _rows_iota(shape):
     return lax.broadcasted_iota(jnp.int32, shape, 0)
 
 
-def _nbr(b, colmask):
+def _nbr(roll, b, colmask):
     """OR of the 4 neighbors (center excluded) on [32, C] bitboards.
     `colmask` zeroes bits >= board size (east shifts spill into them)."""
     e = (b << 1) & colmask
     w = b >> 1
-    s = pltpu.roll(b, 1, 0)     # row r <- row r-1
-    n_ = pltpu.roll(b, ROWS - 1, 0)  # row r <- row r+1
+    s = roll(b, 1)            # row r <- row r-1
+    n_ = roll(b, ROWS - 1)    # row r <- row r+1
     return e | w | s | n_
 
 
-def _flood(seed, allowed, colmask, iters):
+def _flood(roll, seed, allowed, colmask, iters):
     """Grow seed within allowed for `iters` dilations. `allowed` must
     already be masked to the board region (its AND enforces row bounds)."""
     def body(_, x):
-        return (x | _nbr(x, colmask)) & allowed
+        return (x | _nbr(roll, x, colmask)) & allowed
 
     return lax.fori_loop(0, iters, body, seed & allowed)
+
+
+def _flood_conv(roll, seed, allowed, colmask):
+    """Flood to convergence (adaptive: stops when no lane grows)."""
+    def body(carry):
+        x, _ = carry
+        x2 = (x | _nbr(roll, x, colmask)) & allowed
+        return x2, jnp.all(x2 == x)
+
+    def cond(carry):
+        return ~carry[1]
+
+    x, _ = lax.while_loop(cond, body, (seed & allowed, jnp.bool_(False)))
+    return x
 
 
 def _popcount(b):
@@ -96,115 +139,117 @@ def _lowest_vertex(b, n):
 
 def _vertex_bit(v, shape, n):
     """[32, C] uint32 one-hot bitboard of flat vertex `v` ([1, C] int32);
-    v >= n*n (or BIGI) -> all zeros."""
+    v < 0 or v >= n*n (or BIGI) -> all zeros."""
     rows = _rows_iota(shape)
     r = v // n
-    c = jnp.minimum(v - r * n, 31)
+    c = jnp.clip(v - r * n, 0, 31)
     bit = jnp.uint32(1) << c.astype(jnp.uint32)
-    return jnp.where((rows == r) & (v < n * n), bit, jnp.uint32(0))
+    return jnp.where((rows == r) & (v >= 0) & (v < n * n), bit,
+                     jnp.uint32(0))
 
 
-def _dir_seeds(bit, colmask):
+def _dir_seeds(roll, bit, colmask):
     """The 4 single-bit neighbors of a one-hot board (E, W, S, N)."""
     return (
         (bit << 1) & colmask,
         bit >> 1,
-        pltpu.roll(bit, 1, 0),
-        pltpu.roll(bit, ROWS - 1, 0),
+        roll(bit, 1),
+        roll(bit, ROWS - 1),
     )
 
 
-def _chain_queries(vbit, stones_own, stones_opp, empty, colmask):
+def _chain_queries(roll, vbit, stones_own, stones_opp, empty, colmask):
     """Liberty/atari info of the <=4 own and <=4 opp chains adjacent to a
-    vertex (GetLadderLiberties semantics, board.cc:484-518).
+    vertex (GetLadderLiberties semantics, board.cc:483-517), for BOTH
+    colors at once so one call answers own-side bounds AND opp-side
+    legality.
 
-    Returns dict with per-lane [1, C] int32/bool:
-      conn      sum over distinct own neighbor chains of (libs - 1)
-      maxconn   max over them of (libs - 1)
-      own_safe  any own neighbor chain with >= 2 libs
-      ncaps     count of distinct opp neighbor chains in atari
-      potential capped total stones of those atari chains
-      opp_atari_union  [32, C] union bitboard of opp atari neighbor chains
+    Returns dict of per-lane [1, C] int32/bool:
+      conn       sum over distinct own neighbor chains of (libs - 1)
+      maxconn    max over them of (libs - 1)
+      own_safe   any own neighbor chain with >= 2 libs
+      own_atari  any own neighbor chain with exactly 1 lib
+      ncaps      count of distinct opp neighbor chains in atari
+      potential  total stones of those atari chains
+      opp_safe   any opp neighbor chain with >= 2 libs
     """
-    zero_i = jnp.zeros(vbit.shape[:0] + (1, vbit.shape[1]), jnp.int32)
+    zero_i = jnp.zeros((1, vbit.shape[1]), jnp.int32)
     conn = zero_i
     maxconn = zero_i
     own_safe = zero_i > 1
+    own_atari = zero_i > 1
+    opp_safe = zero_i > 1
     ncaps = zero_i
     potential = zero_i
-    atari_union = jnp.zeros_like(vbit)
     own_prev = jnp.zeros_like(vbit)
     opp_prev = jnp.zeros_like(vbit)
 
-    for seed in _dir_seeds(vbit, colmask):
+    for seed in _dir_seeds(roll, vbit, colmask):
         # own-color chain in this direction
         so = seed & stones_own
         dup_o = _popcount(so & own_prev) > 0
-        ch_o = _flood(so, stones_own, colmask, ITER_QUERY)
-        libs_o = _popcount(_nbr(ch_o, colmask) & empty)
+        ch_o = _flood_conv(roll, so, stones_own, colmask)
+        libs_o = _popcount(_nbr(roll, ch_o, colmask) & empty)
         has_o = (_popcount(so) > 0) & ~dup_o
         conn = conn + jnp.where(has_o, libs_o - 1, 0)
         maxconn = jnp.maximum(maxconn, jnp.where(has_o, libs_o - 1, 0))
         own_safe = own_safe | (has_o & (libs_o >= 2))
+        own_atari = own_atari | (has_o & (libs_o == 1))
         own_prev = own_prev | ch_o
 
         # opp-color chain in this direction
         sp = seed & stones_opp
         dup_p = _popcount(sp & opp_prev) > 0
-        ch_p = _flood(sp, stones_opp, colmask, ITER_QUERY)
-        libs_p = _popcount(_nbr(ch_p, colmask) & empty)
+        ch_p = _flood_conv(roll, sp, stones_opp, colmask)
+        libs_p = _popcount(_nbr(roll, ch_p, colmask) & empty)
         has_p = (_popcount(sp) > 0) & ~dup_p
         atari_p = has_p & (libs_p == 1)
         ncaps = ncaps + atari_p.astype(jnp.int32)
         potential = potential + jnp.where(atari_p, _popcount(ch_p), 0)
-        atari_union = atari_union | jnp.where(atari_p, ch_p, jnp.uint32(0))
+        opp_safe = opp_safe | (has_p & (libs_p >= 2))
         opp_prev = opp_prev | ch_p
 
     return dict(
         conn=conn,
         maxconn=maxconn,
         own_safe=own_safe,
+        own_atari=own_atari,
         ncaps=ncaps,
         potential=potential,
-        atari_union=atari_union,
+        opp_safe=opp_safe,
     )
 
 
-def _adjacent_chains(vbit, stones, empty, colmask):
-    """Chains of `stones` adjacent to the one-hot vertex `vbit`:
-    (atari_union bitboard, any_atari [1,C] bool, any_safe [1,C] bool).
-    atari_union = union of adjacent chains with exactly 1 liberty (their
-    liberty is v when v is empty, so playing v captures them)."""
-    prev = jnp.zeros_like(vbit)
-    atari_union = jnp.zeros_like(vbit)
-    any_atari = jnp.zeros((1, vbit.shape[1]), jnp.bool_)
-    any_safe = jnp.zeros((1, vbit.shape[1]), jnp.bool_)
-    for seed in _dir_seeds(vbit, colmask):
+def _adjacent_atari_union(roll, bit, stones, empty, colmask):
+    """Union bitboard of `stones` chains adjacent to one-hot `bit` that
+    have exactly 1 liberty (playing `bit` captures them)."""
+    prev = jnp.zeros_like(bit)
+    atari_union = jnp.zeros_like(bit)
+    for seed in _dir_seeds(roll, bit, colmask):
         s = seed & stones
         dup = _popcount(s & prev) > 0
-        ch = _flood(s, stones, colmask, ITER_QUERY)
-        libs = _popcount(_nbr(ch, colmask) & empty)
+        ch = _flood_conv(roll, s, stones, colmask)
+        libs = _popcount(_nbr(roll, ch, colmask) & empty)
         has = (_popcount(s) > 0) & ~dup
         atari = has & (libs == 1)
         atari_union = atari_union | jnp.where(atari, ch, jnp.uint32(0))
-        any_atari = any_atari | atari
-        any_safe = any_safe | (has & (libs >= 2))
         prev = prev | ch
-    return atari_union, any_atari, any_safe
+    return atari_union
 
 
-def _place_stone(bit, mover_stones, other_stones, empty, colmask, n):
-    """Play a stone at one-hot `bit` for the mover: returns
-    (mover2, other2, new_ko [1,C] int32) with exact captures of adjacent
-    1-liberty `other` chains and simple-ko detection."""
-    captured, _, _ = _adjacent_chains(bit, other_stones, empty, colmask)
+def _place_stone(roll, bit, mover_stones, other_stones, empty, colmask, n):
+    """Play a stone at one-hot `bit` for the mover (PlayMoveAssumeLegal):
+    returns (mover2, other2, new_ko [1,C] int32) with exact captures of
+    adjacent 1-liberty `other` chains and simple-ko detection
+    (UpdateBoard, board.cc:1407-1465: captured exactly one stone while
+    every orthogonal neighbor of the move was opponent-or-border)."""
+    captured = _adjacent_atari_union(roll, bit, other_stones, empty, colmask)
     mover2 = mover_stones | bit
     other2 = other_stones & ~captured
-    # the board-region mask is implied by the operands (all masked)
-    empty2 = empty & ~bit | (captured & ~bit)
+    empty2 = (empty & ~bit) | (captured & ~bit)
     ncap = _popcount(captured)
-    grp_single = _popcount(bit & _nbr(mover2 & ~bit, colmask)) == 0
-    mlibs = _popcount(_nbr(bit, colmask) & empty2)
+    grp_single = _popcount(bit & _nbr(roll, mover2 & ~bit, colmask)) == 0
+    mlibs = _popcount(_nbr(roll, bit, colmask) & empty2)
     ko = jnp.where(
         (ncap == 1) & grp_single & (mlibs == 1),
         _lowest_vertex(captured, n),
@@ -213,184 +258,389 @@ def _place_stone(bit, mover_stones, other_stones, empty, colmask, n):
     return mover2, other2, ko
 
 
-def _chase_kernel(n, max_iters, own_ref, opp_ref, size_ref, ko_ref,
-                  preyv_ref, fh_ref, valid_ref, res_ref):
-    """Lockstep greedy ladder chases (ladder.py ladder_chase, one lane per
-    chase). own = prey color stones, opp = hunter color stones."""
-    own0 = own_ref[:]
-    opp0 = opp_ref[:]
-    size = size_ref[:]            # [1, C] int32
-    ko0 = ko_ref[:]               # [1, C] int32 (-1 none)
-    prey_v = preyv_ref[:]         # [1, C] int32
-    fh_v = fh_ref[:]              # [1, C] int32 (-1 => prey starts in atari)
-    valid = valid_ref[:] > 0      # [1, C]
+# ---- per-lane fork-stack access --------------------------------------
+# Two implementations of "read/write stack level sp_idx[lane] of lane":
+# a where-scan over all MAX_FORKS frames (vectorizes cleanly on the TPU
+# VPU, no gathers — used inside the Pallas kernel) and a gather/scatter
+# along the frame axis (O(1) in MAX_FORKS — used on the XLA/CPU path).
 
+
+def _stack_read_scan(st, sp_idx, f_iota):
+    """Where-scan read of stack level `sp_idx` ([1, C]) from st [F, ...]."""
+    sel = f_iota == sp_idx[None]
+    if st.dtype == jnp.uint32:
+        return jnp.max(jnp.where(sel, st, jnp.uint32(0)), axis=0)
+    return jnp.sum(jnp.where(sel, st, 0), axis=0)
+
+
+def _stack_write_scan(st, sp_idx, f_iota, value, do_write):
+    sel = (f_iota == sp_idx[None]) & do_write[None]
+    return jnp.where(sel, value[None], st)
+
+
+def _stack_read_gather(st, sp_idx, f_iota):
+    del f_iota
+    idx = jnp.clip(sp_idx, 0, st.shape[0] - 1)          # [1, C]
+    idxb = jnp.broadcast_to(idx[:, None, :], (1,) + st.shape[1:])
+    return jnp.take_along_axis(st, idxb, axis=0)[0]
+
+
+def _stack_write_gather(st, sp_idx, f_iota, value, do_write):
+    del f_iota
+    idx = jnp.clip(sp_idx, 0, st.shape[0] - 1)
+    idxb = jnp.broadcast_to(idx[:, None, :], (1,) + st.shape[1:])
+    cur = jnp.take_along_axis(st, idxb, axis=0)[0]
+    new = jnp.where(jnp.broadcast_to(do_write, cur.shape), value, cur)
+    return jnp.put_along_axis(st, idxb, new[None], axis=0, inplace=False)
+
+
+def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
+                 gather_stacks=False):
+    """Builds the DFS state machine: returns (state0 dict, body, cond)
+    over state tuples. Split from _dfs_chases so tests can single-step
+    the body eagerly."""
     shape = own0.shape
+    C = shape[1]
     rows = _rows_iota(shape)
-    colmask = (
-        (jnp.uint32(1) << size.astype(jnp.uint32)) - jnp.uint32(1)
-    ) * jnp.uint32(1)
+    colmask = (jnp.uint32(1) << size.astype(jnp.uint32)) - jnp.uint32(1)
     colmask = jnp.broadcast_to(colmask, shape)
     rowvalid = rows < size
     full = jnp.where(rowvalid, colmask, jnp.uint32(0))
+    own0 = own0 & full
+    opp0 = opp0 & full
 
-    # forced first hunter move (IsLadder libs==2 case, board.cc:801-813)
-    # with exact captures of prey-color chains it puts at 0 liberties
-    fh_bit = _vertex_bit(fh_v, shape, n)
-    empty00 = full & ~own0 & ~opp0
-    opp0_c, own0_c, ko_fh = _place_stone(
-        fh_bit, opp0, own0, empty00, colmask, n
-    )
-    has_fh = fh_v >= 0
-    opp0 = jnp.where(has_fh, opp0_c, opp0)
-    own0 = jnp.where(has_fh, own0_c, own0)
-    ko0 = jnp.where(has_fh, ko_fh, ko0)
-    think_ko = has_fh
+    sread = _stack_read_gather if gather_stacks else _stack_read_scan
+    swrite = _stack_write_gather if gather_stacks else _stack_write_scan
 
     prey_bit = _vertex_bit(prey_v, shape, n)
-    prey0 = _flood(prey_bit, own0 & full, colmask, 2 * n)
+    prey0 = _flood_conv(roll, prey_bit, own0, colmask)
 
-    res0 = jnp.where(valid, UNDECIDED, PREY_GOOD).astype(jnp.int32)
+    zero_i = jnp.zeros((1, C), jnp.int32)
+    false_b = zero_i > 0
 
-    def body(carry):
-        own, opp, prey, ko, result, it = carry
-        empty = full & ~own & ~opp
+    # fork stack
+    f_iota_b = lax.broadcasted_iota(jnp.int32, (MAX_FORKS, ROWS, C), 0)
+    f_iota_s = lax.broadcasted_iota(jnp.int32, (MAX_FORKS, 1, C), 0)
+    f_iota_a = lax.broadcasted_iota(jnp.int32, (MAX_FORKS, MAX_ALTS, C), 0)
+    st_board0 = jnp.zeros((MAX_FORKS, ROWS, C), jnp.uint32)
+    st_scalar0 = jnp.zeros((MAX_FORKS, 1, C), jnp.int32)
+    st_alts0 = jnp.zeros((MAX_FORKS, MAX_ALTS, C), jnp.int32)
 
-        # ---- prey phase (PreySelections, board.cc:520-574) ----
-        prey_libs = _nbr(prey, colmask) & empty
+    state0 = dict(
+        own=own0, opp=opp0, prey=prey0,
+        ko=ko0,
+        pend_v=fh_v,                       # move to apply next (or -1)
+        pend_prey=false_b,                 # pending mover is the prey?
+        mode=zero_i + DESCEND,
+        ret=zero_i,
+        result=jnp.where(valid > 0, UNDECIDED, PREY_GOOD).astype(jnp.int32),
+        nodes=zero_i,
+        sp=zero_i,
+        st_own=st_board0, st_opp=st_board0,
+        st_ko=st_scalar0,
+        st_alts=st_alts0,
+        st_cnt=st_scalar0, st_idx=st_scalar0, st_side=st_scalar0,
+        it=jnp.int32(0),
+    )
+    keys = list(state0.keys())
+
+    def body(state_tuple):
+        s = dict(zip(keys, state_tuple))
+        active = s["result"] == UNDECIDED
+        descend = active & (s["mode"] == DESCEND)
+        returning = active & (s["mode"] == RETURN)
+
+        # ================= DESCEND: apply pending move, select =========
+        nodes1 = s["nodes"] + 1
+        budget_dead = nodes1 >= NODE_CAP
+
+        has_move = s["pend_v"] >= 0
+        mbit = _vertex_bit(s["pend_v"], shape, n)
+        empty = full & ~s["own"] & ~s["opp"]
+        mover = jnp.where(s["pend_prey"], s["own"], s["opp"])
+        other = jnp.where(s["pend_prey"], s["opp"], s["own"])
+        mover2, other2, ko_new = _place_stone(
+            roll, mbit, mover, other, empty, colmask, n
+        )
+        own1 = jnp.where(
+            has_move, jnp.where(s["pend_prey"], mover2, other2), s["own"]
+        )
+        opp1 = jnp.where(
+            has_move, jnp.where(s["pend_prey"], other2, mover2), s["opp"]
+        )
+        ko1 = jnp.where(has_move, ko_new, s["ko"])
+        prey1 = _flood_conv(roll, s["prey"] & own1, own1, colmask)
+        empty1 = full & ~own1 & ~opp1
+
+        selector_prey = ~s["pend_prey"]    # prey selects after hunter move
+        think_ko = has_move & selector_prey
+
+        prey_libs = _nbr(roll, prey1, colmask) & empty1
         nlibs = _popcount(prey_libs)
         l1 = _lowest_vertex(prey_libs, n)
         l1bit = _vertex_bit(l1, shape, n)
+        l2 = _lowest_vertex(prey_libs & ~l1bit, n)
+        l2bit = _vertex_bit(l2, shape, n)
 
-        q = _chain_queries(l1bit, own, opp, empty, colmask)
-        stone_libs = _popcount(_nbr(l1bit, colmask) & empty)
-        lower = q["ncaps"] + jnp.maximum(stone_libs, q["maxconn"])
-        upper = stone_libs + q["potential"] + q["conn"]
+        q1 = _chain_queries(roll, l1bit, own1, opp1, empty1, colmask)
+        q2 = _chain_queries(roll, l2bit, own1, opp1, empty1, colmask)
+        p1 = _popcount(_nbr(roll, l1bit, colmask) & empty1)
+        p2 = _popcount(_nbr(roll, l2bit, colmask) & empty1)
+
+        # ---- PreySelections (board.cc:519-573) ----
         escape_legal = (
-            (l1 < BIGI)
-            & (l1 != ko)
-            & ((stone_libs > 0) | q["own_safe"] | (q["ncaps"] > 0))
+            (nlibs == 1)
+            & (l1 != ko1)
+            & ((p1 > 0) | q1["own_safe"] | (q1["ncaps"] > 0))
         )
-
-        # capture-gaining move: peel <=4 opp chains adjacent to the prey
-        # (FindStringLibertiesGainingCaptures, board.cc:543)
-        A = _nbr(prey, colmask) & opp
-        cap_v = jnp.full_like(l1, BIGI)
+        # capture-gaining moves: peel <=4 hunter chains in atari adjacent
+        # to the prey (FindStringLibertiesGainingCaptures, board.cc:451-479).
+        # Pre-filter: a chain containing a stone with >=2 empty neighbors
+        # has >=2 liberties and cannot be in atari, so one flood from all
+        # such stones removes nearly every safe chain — the 4 peel slots
+        # then go to genuine atari candidates (a merged prey group can
+        # border many hunter chains; without the filter the lowest-vertex
+        # peel order wastes slots on safe chains).
+        eE = (empty1 << 1) & colmask
+        eW = empty1 >> 1
+        eS = roll(empty1, 1)
+        eN = roll(empty1, ROWS - 1)
+        two_empty = (
+            (eE & eW) | (eE & eS) | (eE & eN)
+            | (eW & eS) | (eW & eN) | (eS & eN)
+        )
+        not_atari = _flood_conv(roll, two_empty & opp1, opp1, colmask)
+        A = _nbr(roll, prey1, colmask) & opp1 & ~not_atari
+        cap_vs = []
         for _ in range(4):
             v0 = _lowest_vertex(A, n)
             sbit = _vertex_bit(v0, shape, n)
-            ch = _flood(sbit, opp, colmask, ITER_QUERY)
-            libs_mask = _nbr(ch, colmask) & empty
+            ch = _flood_conv(roll, sbit, opp1, colmask)
+            libs_mask = _nbr(roll, ch, colmask) & empty1
             is_atari = (v0 < BIGI) & (_popcount(libs_mask) == 1)
-            libv = _lowest_vertex(libs_mask, n)
-            cap_v = jnp.minimum(cap_v, jnp.where(is_atari, libv, BIGI))
-            A = A & ~ch
-        cap_legal = (cap_v < BIGI) & (cap_v != ko)
-
-        prey_escaped = (
-            (nlibs >= 2)
-            | (think_ko & (ko >= 0))
-            | (escape_legal & (lower >= 3))
-        )
-        prey_dead = (
-            (~prey_escaped & ~escape_legal & ~cap_legal)
-            | (~prey_escaped & escape_legal & ~cap_legal & (upper <= 1))
-        )
-        use_cap = cap_legal & ((upper <= 1) | ~escape_legal)
-        prey_move = jnp.where(use_cap, cap_v, l1)
-        mbit = _vertex_bit(prey_move, shape, n)
-
-        # apply the prey move (PlayMoveAssumeLegal on bitboards):
-        # exact captures of adjacent 1-liberty hunter chains + simple ko
-        own1, opp1, ko1 = _place_stone(mbit, own, opp, empty, colmask, n)
-        empty1 = full & ~own1 & ~opp1
-        # prey may merge through the played stone
-        prey1 = _flood(prey | (mbit & _nbr(prey, colmask)), own1, colmask,
-                       2 * n)
-
-        # ---- hunter phase (HunterSelections, board.cc:576-646) ----
-        p_libs = _nbr(prey1, colmask) & empty1
-        nlibs1 = _popcount(p_libs)
-        h1 = _lowest_vertex(p_libs, n)
-        h1bit = _vertex_bit(h1, shape, n)
-        rest = p_libs & ~h1bit
-        h2 = _lowest_vertex(rest, n)
-        h2bit = _vertex_bit(h2, shape, n)
-
-        prey_escaped2 = nlibs1 >= 3
-        hunter_won = nlibs1 <= 1
-
-        p1 = _popcount(_nbr(h1bit, colmask) & empty1)
-        p2 = _popcount(_nbr(h2bit, colmask) & empty1)
-        both_open = (p1 >= 3) & (p2 >= 3)
-
-        # hunter-move legality: empty neighbor, adjacent hunter chain with
-        # >= 2 libs, or capture of an adjacent prey-color chain in atari
-        def legal_at(hbit_, hv):
-            _, h_caps, _ = _adjacent_chains(hbit_, own1, empty1, colmask)
-            _, _, h_safe = _adjacent_chains(hbit_, opp1, empty1, colmask)
-            stone = _popcount(_nbr(hbit_, colmask) & empty1)
-            return (hv < BIGI) & (hv != ko1) & (
-                (stone > 0) | h_safe | h_caps
+            cap_vs.append(
+                jnp.where(is_atari, _lowest_vertex(libs_mask, n), BIGI)
             )
+            A = A & ~ch
+        # selection slots: escape first, then deduped legal captures
+        sel_v = [jnp.where(escape_legal, l1, BIGI)]
+        sel_ok = [escape_legal]
+        for i, cv in enumerate(cap_vs):
+            dup = cv == l1
+            for prev in cap_vs[:i]:
+                dup = dup | (cv == prev)
+            ok = (cv < BIGI) & (cv != ko1) & ~dup
+            sel_v.append(cv)
+            sel_ok.append(ok)
+        kp = sum(o.astype(jnp.int32) for o in sel_ok)
 
-        legal1 = legal_at(h1bit, h1)
-        legal2 = legal_at(h2bit, h2)
-        # same decision table as ladder.py's nested where, written as pure
-        # and/or — Mosaic cannot materialize bool-vector select constants
-        pick1 = legal1 & (
-            (p1 >= 3) | (~(p2 >= 3) & ((p1 >= p2) | ~legal2))
-        )
-        pick2 = ~pick1 & legal2 & ~(p1 >= 3)
-        no_move = ~pick1 & ~pick2
-        hbit = jnp.where(pick1, h1bit, h2bit)
-        hunter_plays = ~(hunter_won | prey_escaped2 | both_open | no_move)
-        # exact captures (third-party prey-color chains) + ko
-        opp2_c, own1_c, ko_h = _place_stone(
-            hbit, opp1, own1, empty1, colmask, n
-        )
-        opp2 = jnp.where(hunter_plays, opp2_c, opp1)
-        own1 = jnp.where(hunter_plays, own1_c, own1)
-        prey1 = prey1 & own1    # a captured third-party chain never holds
-                                # prey cells (prey has 2 libs here)
-        ko2 = jnp.where(hunter_plays, ko_h, ko1)
-
-        new_result = jnp.where(
-            prey_escaped,
+        lower = q1["ncaps"] + jnp.maximum(p1, q1["maxconn"])
+        upper = p1 + q1["potential"] + q1["conn"]
+        prey_term = jnp.where(
+            (nlibs >= 2) | (think_ko & (ko1 >= 0)),
             PREY_GOOD,
             jnp.where(
-                prey_dead,
+                kp == 0,
                 HUNTER_GOOD,
                 jnp.where(
-                    hunter_won,
-                    HUNTER_GOOD,
+                    escape_legal & (lower >= 3),
+                    PREY_GOOD,
                     jnp.where(
-                        prey_escaped2 | both_open | no_move,
-                        PREY_GOOD,
+                        escape_legal & (kp == 1) & (upper == 1),
+                        HUNTER_GOOD,
                         UNDECIDED,
                     ),
                 ),
             ),
-        ).astype(jnp.int32)
-        undecided = result == UNDECIDED
-        result2 = jnp.where(undecided, new_result, result)
-        # frozen lanes keep their boards (their content no longer matters,
-        # but avoid growing garbage)
-        own_n = jnp.where(undecided, own1, own)
-        opp_n = jnp.where(undecided, opp2, opp)
-        prey_n = jnp.where(undecided, prey1, prey)
-        ko_n = jnp.where(undecided, ko2, ko)
-        return own_n, opp_n, prey_n, ko_n, result2, it + 1
+        )
 
-    def cond(carry):
-        _, _, _, _, result, it = carry
-        return jnp.any(result == UNDECIDED) & (it < max_iters)
+        # ---- HunterSelections (board.cc:575-644) ----
+        adjacent_libs = _popcount(_nbr(roll, l1bit, colmask) & l2bit) > 0
+        legal1 = (l1 < BIGI) & (l1 != ko1) & (
+            (p1 > 0) | q1["opp_safe"] | q1["own_atari"]
+        )
+        legal2 = (l2 < BIGI) & (l2 != ko1) & (
+            (p2 > 0) | q2["opp_safe"] | q2["own_atari"]
+        )
+        both_open = ~adjacent_libs & (p1 >= 3) & (p2 >= 3)
+        h_ok1 = jnp.where(
+            adjacent_libs,
+            l1 < BIGI,
+            legal1 & (p2 < 3),               # p1>=3 forces m1; p2>=3 skips m1
+        ) & ~both_open
+        h_ok2 = jnp.where(
+            adjacent_libs,
+            l2 < BIGI,
+            legal2 & (p1 < 3),
+        ) & ~both_open
+        kh = h_ok1.astype(jnp.int32) + h_ok2.astype(jnp.int32)
+        hunter_term = jnp.where(
+            nlibs >= 3,
+            PREY_GOOD,
+            jnp.where(
+                nlibs <= 1,
+                HUNTER_GOOD,
+                jnp.where(both_open | (kh == 0), PREY_GOOD, UNDECIDED),
+            ),
+        )
 
-    _, _, _, _, result, _ = lax.while_loop(
-        cond, body, (own0, opp0, prey0, ko0, res0, jnp.int32(0))
+        # ---- merge by selector side ----
+        term = jnp.where(selector_prey, prey_term, hunter_term)
+        ok = [
+            jnp.where(selector_prey, sel_ok[i], h_ok1 if i == 0 else
+                      (h_ok2 if i == 1 else false_b))
+            for i in range(5)
+        ]
+        vals = [
+            jnp.where(selector_prey, sel_v[i], l1 if i == 0 else
+                      (l2 if i == 1 else zero_i))
+            for i in range(5)
+        ]
+        k = sum(o.astype(jnp.int32) for o in ok)
+        # first valid slot + compact the rest into alt slots 0..3
+        first_v = jnp.full_like(zero_i, -1)
+        rank = zero_i
+        alts = [jnp.full_like(zero_i, -1) for _ in range(MAX_ALTS)]
+        for i in range(5):
+            is_first = ok[i] & (rank == 0)
+            first_v = jnp.where(is_first, vals[i], first_v)
+            for a in range(MAX_ALTS):
+                hit = ok[i] & (rank == a + 1)
+                alts[a] = jnp.where(hit, vals[i], alts[a])
+            rank = rank + ok[i].astype(jnp.int32)
+
+        is_term = term != UNDECIDED
+        need_push = ~is_term & (k >= 2)
+        overflow = need_push & (s["sp"] >= MAX_FORKS)
+        freeze = descend & (budget_dead | overflow)
+
+        do_push = descend & need_push & ~freeze & ~is_term
+        alt_stack = jnp.concatenate(alts, axis=0)         # [MAX_ALTS, C]
+
+        st_own = swrite(s["st_own"], s["sp"], f_iota_b, own1, do_push)
+        st_opp = swrite(s["st_opp"], s["sp"], f_iota_b, opp1, do_push)
+        st_ko = swrite(s["st_ko"], s["sp"], f_iota_s, ko1, do_push)
+        st_alts = swrite(s["st_alts"], s["sp"], f_iota_a, alt_stack,
+                         do_push)
+        st_cnt = swrite(s["st_cnt"], s["sp"], f_iota_s, k - 1, do_push)
+        st_idx = swrite(s["st_idx"], s["sp"], f_iota_s, zero_i, do_push)
+        st_side = swrite(
+            s["st_side"], s["sp"], f_iota_s,
+            selector_prey.astype(jnp.int32), do_push
+        )
+
+        d_sp = jnp.where(do_push, s["sp"] + 1, s["sp"])
+        d_mode = jnp.where(is_term, RETURN, DESCEND)
+        d_ret = jnp.where(is_term, term, s["ret"])
+        d_pend_v = jnp.where(is_term, s["pend_v"], first_v)
+        d_pend_prey = jnp.where(is_term, s["pend_prey"], selector_prey)
+
+        # ================= RETURN: propagate a subtree result ===========
+        sp1 = s["sp"] - 1
+        stack_empty = s["sp"] <= 0
+        top_side_prey = sread(s["st_side"], sp1, f_iota_s) > 0
+        top_cnt = sread(s["st_cnt"], sp1, f_iota_s)
+        top_idx = sread(s["st_idx"], sp1, f_iota_s)
+        decided = jnp.where(
+            top_side_prey, s["ret"] == PREY_GOOD, s["ret"] == HUNTER_GOOD
+        )
+        pop = decided | (top_idx >= top_cnt)
+        resume = returning & ~stack_empty & ~pop
+
+        r_own = sread(s["st_own"], sp1, f_iota_b)
+        r_opp = sread(s["st_opp"], sp1, f_iota_b)
+        r_prey = _flood_conv(roll, prey_bit, r_own, colmask)
+        r_ko = sread(s["st_ko"], sp1, f_iota_s)
+        alt_iota = lax.broadcasted_iota(jnp.int32, (MAX_ALTS, C), 0)
+        top_alts = sread(s["st_alts"], sp1, f_iota_a)      # [MAX_ALTS, C]
+        r_alt = jnp.sum(
+            jnp.where(alt_iota == top_idx, top_alts, 0), axis=0,
+            keepdims=True,
+        )
+        st_idx = swrite(st_idx, sp1, f_iota_s, top_idx + 1, resume)
+
+        r_sp = jnp.where(stack_empty, s["sp"], jnp.where(pop, sp1, s["sp"]))
+        r_mode = jnp.where(resume, DESCEND, RETURN)
+        r_freeze = returning & stack_empty
+
+        # ================= commit per-lane by mode ======================
+        def pick(d_val, r_val, old):
+            return jnp.where(descend, d_val, jnp.where(returning, r_val,
+                                                       old))
+
+        def pick_b(d_val, r_val, old):
+            dm = jnp.broadcast_to(descend, old.shape)
+            rm = jnp.broadcast_to(returning, old.shape)
+            return jnp.where(dm, d_val, jnp.where(rm, r_val, old))
+
+        out = dict(s)
+        out["own"] = pick_b(own1, jnp.where(resume, r_own, s["own"]),
+                            s["own"])
+        out["opp"] = pick_b(opp1, jnp.where(resume, r_opp, s["opp"]),
+                            s["opp"])
+        out["prey"] = pick_b(prey1, jnp.where(resume, r_prey, s["prey"]),
+                             s["prey"])
+        out["ko"] = pick(ko1, jnp.where(resume, r_ko, s["ko"]), s["ko"])
+        out["pend_v"] = pick(d_pend_v, jnp.where(resume, r_alt,
+                                                 s["pend_v"]), s["pend_v"])
+        out["pend_prey"] = pick(
+            d_pend_prey, jnp.where(resume, top_side_prey, s["pend_prey"]),
+            s["pend_prey"],
+        )
+        out["mode"] = pick(d_mode, r_mode, s["mode"])
+        out["ret"] = pick(d_ret, s["ret"], s["ret"])
+        out["nodes"] = pick(nodes1, s["nodes"], s["nodes"])
+        out["sp"] = pick(d_sp, r_sp, s["sp"])
+        out["result"] = jnp.where(
+            freeze,
+            PREY_GOOD,                       # budget/overflow -> prey good
+            jnp.where(r_freeze, s["ret"], s["result"]),
+        )
+        # stack arrays already carry both modes' writes (push vs idx bump
+        # target disjoint lanes)
+        out["st_own"], out["st_opp"] = st_own, st_opp
+        out["st_ko"], out["st_alts"] = st_ko, st_alts
+        out["st_cnt"], out["st_idx"], out["st_side"] = st_cnt, st_idx, st_side
+        out["it"] = s["it"] + 1
+        return tuple(out[kk] for kk in keys)
+
+    def cond(state_tuple):
+        s = dict(zip(keys, state_tuple))
+        return jnp.any(s["result"] == UNDECIDED) & (
+            s["it"] < 2 * NODE_CAP + 16
+        )
+
+    return state0, body, cond
+
+
+def _dfs_chases(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
+                gather_stacks=False):
+    """The exact ladder search over [ROWS, C] bitboard lanes.
+
+    own0/opp0: prey-color / hunter-color stones. size/ko0/prey_v/fh_v/
+    valid: [1, C] int32 (fh_v = -1 starts with the prey to answer in
+    atari, board.cc:795-799; else the forced first hunter move,
+    board.cc:801-813). Returns [1, C] int32 chase results."""
+    state0, body, cond = _dfs_machine(
+        roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
+        gather_stacks=gather_stacks,
     )
-    # exhaustion counts as escape (board.cc:655-658)
-    res_ref[:] = jnp.where(result == UNDECIDED, PREY_GOOD, result)
+    keys = list(state0.keys())
+    final = lax.while_loop(cond, body, tuple(state0[kk] for kk in keys))
+    result = dict(zip(keys, final))["result"]
+    return jnp.where(result == UNDECIDED, PREY_GOOD, result)
+
+
+def _chase_kernel(n, own_ref, opp_ref, size_ref, ko_ref,
+                  preyv_ref, fh_ref, valid_ref, res_ref):
+    """Pallas wrapper: exact DFS chases, one lane per (candidate, branch)."""
+    def roll(b, shift):
+        return pltpu.roll(b, shift, 0)
+
+    res_ref[:] = _dfs_chases(
+        roll, n, own_ref[:], opp_ref[:], size_ref[:], ko_ref[:],
+        preyv_ref[:], fh_ref[:], valid_ref[:],
+    )
 
 
 def pack_bitboards(mask):
@@ -402,15 +652,9 @@ def pack_bitboards(mask):
     return jnp.concatenate([words, pad], axis=-1)
 
 
-def run_chases(own_words, opp_words, size, ko, prey_v, first_hunter_v,
-               valid, n, lane_chunk=1024):
-    """Run L lockstep greedy ladder chases; all inputs lane-major.
-
-    own_words/opp_words: [L, ROWS] uint32 (own = prey color);
-    size/ko/prey_v/first_hunter_v/valid: [L] int32 (first_hunter_v = -1
-    for the prey-in-atari start). Returns [L] int32 chase results."""
+def _prep(own_words, opp_words, size, ko, prey_v, first_hunter_v, valid,
+          chunk):
     L = own_words.shape[0]
-    chunk = min(lane_chunk, max(128, L))
     pad = (-L) % chunk
     Lp = L + pad
 
@@ -425,9 +669,31 @@ def run_chases(own_words, opp_words, size, ko, prey_v, first_hunter_v,
             x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.int32)])
         return x.reshape(1, Lp)
 
-    max_iters = 2 * n + 8
+    return Lp, (
+        prep_board(own_words),
+        prep_board(opp_words),
+        prep_scalar(size, fill=1),
+        prep_scalar(ko, fill=-1),
+        prep_scalar(prey_v, fill=0),
+        prep_scalar(first_hunter_v, fill=-1),
+        prep_scalar(valid),
+    )
+
+
+def run_chases(own_words, opp_words, size, ko, prey_v, first_hunter_v,
+               valid, n, lane_chunk=128):
+    """Run L exact lockstep ladder chases (Pallas); inputs lane-major.
+
+    own_words/opp_words: [L, ROWS] uint32 (own = prey color);
+    size/ko/prey_v/first_hunter_v/valid: [L] int32 (first_hunter_v = -1
+    for the prey-in-atari start). Returns [L] int32 chase results."""
+    L = own_words.shape[0]
+    chunk = min(lane_chunk, max(128, L))
+    Lp, args = _prep(own_words, opp_words, size, ko, prey_v,
+                     first_hunter_v, valid, chunk)
+
     res = pl.pallas_call(
-        functools.partial(_chase_kernel, n, max_iters),
+        functools.partial(_chase_kernel, n),
         grid=(Lp // chunk,),
         out_shape=jax.ShapeDtypeStruct((1, Lp), jnp.int32),
         in_specs=[
@@ -449,13 +715,19 @@ def run_chases(own_words, opp_words, size, ko, prey_v, first_hunter_v,
         out_specs=pl.BlockSpec((1, chunk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
-    )(
-        prep_board(own_words),
-        prep_board(opp_words),
-        prep_scalar(size, fill=1),
-        prep_scalar(ko, fill=-1),
-        prep_scalar(prey_v, fill=0),
-        prep_scalar(first_hunter_v, fill=-1),
-        prep_scalar(valid),
-    )
+    )(*args)
+    return res.reshape(Lp)[:L]
+
+
+def run_chases_xla(own_words, opp_words, size, ko, prey_v, first_hunter_v,
+                   valid, n):
+    """Same exact search as run_chases, in plain XLA (CPU hosts, tests)."""
+    L = own_words.shape[0]
+    Lp, args = _prep(own_words, opp_words, size, ko, prey_v,
+                     first_hunter_v, valid, L)
+
+    def roll(b, shift):
+        return jnp.roll(b, shift, axis=0)
+
+    res = _dfs_chases(roll, n, *args, gather_stacks=True)
     return res.reshape(Lp)[:L]

@@ -4,11 +4,10 @@ Replays reference-generated random games (tools/gen_goldens.py) through the
 vectorized env and compares, position by position:
 
 - the full legality bitmap vs GameState::IsLegalMove
-- all 43 encoder planes vs Encoder::GetPlanesString (2-decimal dump)
-
-Ladder planes (33-36) are compared in a separate test because our ladder
-reader follows the greedy principal variation instead of the reference's
-forking search (see sayuri_tpu/game/ladder.py docstring).
+- all 43 encoder planes vs Encoder::GetPlanesString (2-decimal dump),
+  INCLUDING the 4 ladder planes: the exact fork-stack ladder search
+  (sayuri_tpu/ops/ladder_kernel.py) reproduces the reference's AND-OR
+  reader cell-exactly (board.cc:520-821, 1618-1691).
 """
 
 import json
@@ -24,8 +23,7 @@ from sayuri_tpu.models.encoder import encode
 
 GOLDEN_DIR = Path(__file__).parent / "goldens"
 
-LADDER_PLANES = range(33, 37)
-EXACT_PLANES = [p for p in range(43) if p not in LADDER_PLANES]
+EXACT_PLANES = range(43)
 
 
 def load(size):
@@ -75,8 +73,6 @@ def test_goldens(size, stride):
         jax.jit(jax.vmap(lambda s: encode(env, s)))(batch)
     )
 
-    ladder_mismatch = 0
-    ladder_total = 0
     for i, rec in enumerate(records):
         ref_legal = np.array(rec["legal"], bool)
         got = legal[i, : size * size]
@@ -94,13 +90,3 @@ def test_goldens(size, stride):
                 atol=6e-3,
                 err_msg=f"size {size} rec {i} plane {p}",
             )
-        for p in LADDER_PLANES:
-            ladder_total += ref_planes[p].size
-            ladder_mismatch += int(
-                (np.abs(got_planes[p] - ref_planes[p]) > 0.5).sum()
-            )
-
-    # greedy ladder reading: demand high agreement, not exactness
-    if ladder_total:
-        rate = ladder_mismatch / ladder_total
-        assert rate < 0.02, f"ladder plane disagreement {rate:.2%}"
