@@ -13,19 +13,25 @@ aggregate is a scatter(add/or/min) over label roots:
   adjacent to removed strings") runs as a while_loop over per-chain alive
   bits — monotone, so it terminates in <= #chains trips.
 
-Known deviation: the pass-dead potential-eye count ignores the reference's
-"inner region" refinement for false-eye life / two-headed dragons
-(board.cc:2013-2107) — a per-region complement-connectivity pass that is
-deliberately approximated to keep the kernel shape-static; the eye heuristic
-is already greedy in the reference (board.cc:1962-1969).
+The pass-dead potential-eye count includes the reference's "inner region"
+refinement for false-eye life / two-headed dragons (board.cc:2013-2107):
+regions whose failed eye candidates could be rescued by promoting enclosed
+c-stone corners get an exact per-region border flood (at most INNER_SLOTS
+regions per board — overflow falls back to the unrefined eye, erring the
+same direction as the reference's own greedy heuristic, board.cc:1968-1970).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sayuri_tpu.game import board as B
 from sayuri_tpu.game.types import EMPTY
+
+# exact inner-region refinements per board (pass-dead two-headed-dragon
+# rescue); regions needing it beyond this fall back to the unrefined eye
+INNER_SLOTS = 6
 
 
 def _scatter_or(vals, labels, nn):
@@ -148,14 +154,17 @@ def pass_alive_area(stones, size, color):
         jnp.clip(lbl_r, 0, None).reshape(-1)
     ].reshape(n, n)
 
-    # --- pass-dead opponent regions (board.cc:1882-2051, inner-region
-    # refinement approximated away; see module docstring) ---
-    occupied2 = alive_cells | vital_cells
-    others2 = mask & ~occupied2
+    # --- pass-dead opponent regions (board.cc:1882-2051) ---
+    # `ocupied` at this stage = pass-ALIVE c stones + marked vital cells:
+    # Benson's loop erased removed (dead) c strings back to empty
+    # (board.cc:1817-1821), so dead c stones are region cells and can even
+    # be potential eyes (IsPotentialEye only rejects real o stones).
+    blockers = alive_cells | vital_cells
+    others2 = mask & ~blockers
     lbl_r2 = B.chain_labels(others2)
 
-    no_c_side = ~B.nbr_or(occupied2)
-    d1, d2, d3, d4 = _diag_shifts(occupied2)
+    no_c_side = ~B.nbr_or(blockers)
+    d1, d2, d3, d4 = _diag_shifts(blockers)
     corner_c = (
         d1.astype(jnp.int32)
         + d2.astype(jnp.int32)
@@ -171,7 +180,60 @@ def pass_alive_area(stones, size, color):
     )
     interior = corner_onboard == 4
     corner_ok = jnp.where(interior, corner_c <= 1, corner_c == 0)
-    is_eye = others2 & ~opp_real & no_c_side & corner_ok
+    cand_eye = others2 & ~opp_real & no_c_side
+    is_eye = cand_eye & corner_ok
+
+    # --- inner-region refinement (IsPotentialEye + ComputeInnerRegions,
+    # board.cc:1964-2107): a corner cell belonging to a complement
+    # component of the region that does NOT reach the board edge counts
+    # as the region owner, rescuing false-eye life (two-headed dragons).
+    # Only c-valued corners can change the verdict, and only c stones in
+    # a blocker component that avoids the edge can be inner, so regions
+    # are screened cheaply and at most INNER_SLOTS regions per board get
+    # the exact border-flood (overflow falls back to the unrefined eye —
+    # the reference's own heuristic is greedy here, board.cc:1968-1970).
+    edge = mask & ~(
+        B.shift(mask, 1, 0, False)
+        & B.shift(mask, -1, 0, False)
+        & B.shift(mask, 0, 1, False)
+        & B.shift(mask, 0, -1, False)
+    )
+    border_blockers = B.flood(blockers & edge, blockers)
+    maybe_inner = blockers & ~border_blockers
+    i1, i2, i3, i4 = _diag_shifts(maybe_inner)
+    corner_maybe = (
+        i1.astype(jnp.int32)
+        + i2.astype(jnp.int32)
+        + i3.astype(jnp.int32)
+        + i4.astype(jnp.int32)
+    )
+    rescuable = cand_eye & ~corner_ok & jnp.where(
+        interior, corner_c - corner_maybe <= 1, corner_c == corner_maybe
+    )
+    need_region = _scatter_or(rescuable, lbl_r2, nn)         # at roots
+    flat = B.flat_iota(n)
+    root_order = jnp.argsort(jnp.where(need_region, flat.reshape(-1), nn))[
+        :INNER_SLOTS
+    ]
+    slot_root = jnp.where(need_region.reshape(-1)[root_order], root_order, -1)
+
+    def refine_one(root):
+        in_region = lbl_r2 == root
+        allowed = mask & ~in_region
+        outer = B.flood(allowed & edge, allowed)
+        inner = allowed & ~outer
+        ni1, ni2, ni3, ni4 = _diag_shifts(blockers & ~inner)
+        cc = (
+            ni1.astype(jnp.int32)
+            + ni2.astype(jnp.int32)
+            + ni3.astype(jnp.int32)
+            + ni4.astype(jnp.int32)
+        )
+        ok2 = jnp.where(interior, cc <= 1, cc == 0)
+        return cand_eye & in_region & ok2 & (root >= 0)
+
+    refined = jax.vmap(refine_one)(slot_root)                # [K, n, n]
+    is_eye = is_eye | jnp.any(refined, axis=0)
 
     eye_count = _scatter_add(is_eye, lbl_r2, nn)
     same_reg_adj_eye = (
