@@ -115,6 +115,25 @@ def broadcast_from_host0(tree):
     return multihost_utils.broadcast_one_to_all(tree)
 
 
+def local_batch(x, axis: int, global_b: int) -> np.ndarray:
+    """local_lanes, then — if the leaf came back REPLICATED (eager ops on
+    global arrays may pick replicated output shardings) — slice this
+    host's deterministic lane range along `axis` (make_global_batch lays
+    host lanes out contiguously in process order)."""
+    y = local_lanes(x)
+    if (
+        jax.process_count() > 1
+        and y.ndim > axis
+        and y.shape[axis] == global_b
+    ):
+        local = global_b // jax.process_count()
+        start = jax.process_index() * local
+        sl = [slice(None)] * y.ndim
+        sl[axis] = slice(start, start + local)
+        y = y[tuple(sl)]
+    return y
+
+
 def local_lanes(x) -> np.ndarray:
     """This process's addressable slice of a batch-sharded global array,
     as one contiguous numpy block (each host serializes only the games it

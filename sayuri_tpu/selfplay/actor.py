@@ -449,15 +449,16 @@ class SelfplayActor:
         from sayuri_tpu.game import analysis as A
         from sayuri_tpu.game.types import TERRITORY_RULE
 
-        is_terr = np.asarray(final_states.rule) == TERRITORY_RULE
-        if not is_terr.any():
+        # reduce to a replicated scalar before reading on the host: the
+        # batch may be a multi-host global array whose shards are not all
+        # addressable here (np.asarray on it would throw)
+        terr = final_states.rule == TERRITORY_RULE
+        if not bool(jnp.any(terr)):
             return jax.vmap(A.score_area_ownership)(
                 final_states.stones, final_states.size
             )
         if max_steps is None:
             max_steps = env.n * env.n
-
-        terr = jnp.asarray(is_terr)
         offset = jax.vmap(env.penalty_offset_to_area)(final_states)
         states = final_states.replace(
             # area lanes stay terminated (step() freezes them)

@@ -179,11 +179,22 @@ class SelfPlayPipe:
             self.env, final, records, territory_helper=helper
         )
         if jax.process_count() > 1:
-            # every host serializes only the lanes it owns
+            # every host serializes only the lanes it owns; targets built
+            # eagerly from global arrays may come back replicated, so
+            # slice by deterministic lane range ([B] leaves batch on axis
+            # 0, [T, B, ...] leaves on axis 1)
             from sayuri_tpu.parallel import distributed as DI
 
-            records = jax.tree.map(DI.local_lanes, records)
-            targets = jax.tree.map(DI.local_lanes, targets)
+            # parallel_games is per-host lanes; the global batch spans all
+            # processes (make_global_batch stacks host contributions)
+            gb = self.parallel_games * jax.process_count()
+            records = jax.tree.map(
+                lambda x: DI.local_batch(x, 0, gb), records
+            )
+            targets = {
+                k: DI.local_batch(v, 0 if v.ndim == 1 else 1, gb)
+                for k, v in targets.items()
+            }
         games = D.games_to_text(self.env, records, targets)
         n = D.write_chunks(
             games, str(self.out_dir), self.run_id, seed=self.games_done
