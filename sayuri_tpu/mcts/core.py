@@ -162,6 +162,11 @@ class SearchConfig:
     gumbel_c_visit: float = 50.0
     gumbel_c_scale: float = 1.0
     gumbel_considered_moves: int = 16
+    # the reference draws FRESH Gumbel noise at every selection and at the
+    # final move pick (std::extreme_value_distribution constructed inside
+    # ProcessGumbelLogits, node.cc:1734); False = one draw per search
+    # (the original Gumbel-AlphaZero formulation)
+    gumbel_per_selection: bool = True
     # LCB best-move selection
     lcb_reduction: float = 0.02
     # NN eval cache (cache.h / network.cc:102-121): entries per lane;
@@ -249,8 +254,16 @@ class Tree:
     next_free: jnp.ndarray   # i32
     root_noise: jnp.ndarray  # [B, A] dirichlet noise buffer (parameters.h:156)
     root_ownership: jnp.ndarray  # [B, HW] running average (node.cc:724-733)
-    # gumbel root state
+    # gumbel root state: one pre-drawn noise buffer (used when
+    # gumbel_per_selection=False) + the PRNG key fresh per-selection noise
+    # is folded from (node.cc:1734 draws fresh noise every selection)
     root_gumbel: jnp.ndarray     # [B, A] gumbel noise (node.cc:1606+)
+    gumbel_key: jnp.ndarray      # [B, 2] uint32 PRNG key (row-replicated;
+    #                              [B]-leading so tree merges broadcast)
+    # frozen per-search score-utility center: the root's mean score at
+    # search-prepare time (recent_expected_black_score, search.cc:184 —
+    # under tree reuse this carries the previous move's estimate)
+    score_center: jnp.ndarray  # [B]
     # per-lane exploration switches: the reference swaps in a "no exploring"
     # parameter set for fast-search lanes (search.cc:33-45, 269-271)
     use_noise: jnp.ndarray       # [B] bool
@@ -455,6 +468,10 @@ class MCTS:
             root_noise=noise,
             root_ownership=evals.black_ownership,
             root_gumbel=gumbel,
+            gumbel_key=jnp.broadcast_to(
+                jax.random.fold_in(rng, 0x6B31)[None], (b, 2)
+            ),
+            score_center=evals.black_score,
             use_noise=(
                 jnp.full((b,), cfg.dirichlet_noise)
                 if use_noise is None
@@ -516,10 +533,11 @@ class MCTS:
         return jnp.where(parent_states.ko >= 0, 0.0, bonus)
 
     def _score_center(self, tree):
-        """Per-search score-utility center: the root's raw NN score (the
-        reference's recent_expected_black_score is the previous move's root
-        estimate — a per-search constant, parameters.h)."""
-        return tree.net_score[:, 0]
+        """Per-search score-utility center (recent_expected_black_score,
+        search.cc:184): frozen at search-prepare time to the root's mean
+        score — the raw NN score on fresh trees, the carried-over previous
+        estimate on reused roots."""
+        return tree.score_center
 
     def _sample_dirichlet(self, rng, priors):
         """Root Dirichlet buffer (node.cc:1395-1423): alpha =
@@ -713,7 +731,7 @@ class MCTS:
         if self.cfg.gumbel:
             from sayuri_tpu.mcts import gumbel as G
 
-            gumbel_scores = G.root_scores(self, tree)
+            gumbel_scores = G.root_scores(self, tree, sim_idx=sim_idx)
             # SH budget exhausted (all -inf) -> PUCT fallback
             # (ProcessGumbelLogits returning false, node.cc:1729-1731)
             g_ok = jnp.any(jnp.isfinite(gumbel_scores), axis=-1)
@@ -1115,6 +1133,7 @@ class MCTS:
             states_p32=reused.states_p32.at[:, 0].set(slim_p32),
             root_noise=fresh.root_noise,
             root_gumbel=fresh.root_gumbel,
+            gumbel_key=fresh.gumbel_key,
             use_noise=fresh.use_noise,
             use_gumbel=fresh.use_gumbel,
             root_ownership=fresh.root_ownership,
@@ -1144,7 +1163,14 @@ class MCTS:
             reused.replace(cache=None),
             fresh.replace(cache=None),
         )
-        out = out.replace(cache=cache_out)
+        # freeze the score-utility center AFTER the reuse merge: reused
+        # roots carry the previous search's accumulated estimate
+        # (PrepareParam runs after PrepareRootNode's reuse, search.cc:184)
+        out = out.replace(
+            cache=cache_out,
+            score_center=out.acc_score[:, 0]
+            / jnp.maximum(out.visits[:, 0], 1),
+        )
         return out, has_reuse
 
     # ------------------------------------------------------------------

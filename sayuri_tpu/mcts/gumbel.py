@@ -18,9 +18,13 @@ Vectorized re-derivation of the reference's reuse-tolerant Gumbel search
   log(prior) + sigma(completed-Q) with approximate-Q fill for unvisited
   children and small-probability pruning (node.cc:1504-1600).
 
-Deviation: the reference resamples Gumbel noise at every selection
-(node.cc:1734); this implementation samples one Gumbel per root per search
-(the original Gumbel-AlphaZero formulation) — stored in tree.root_gumbel.
+Like the reference, FRESH Gumbel noise is drawn at every selection and at
+the final move pick (std::extreme_value_distribution constructed inside
+ProcessGumbelLogits, node.cc:1734) — folded from tree.gumbel_key by
+simulation index. SearchConfig.gumbel_per_selection=False restores the
+original Gumbel-AlphaZero formulation (one draw per search, stored in
+tree.root_gumbel); the A/B harness (tools/ab_match.py) measures the two
+against each other.
 """
 
 from __future__ import annotations
@@ -28,8 +32,21 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _selection_gumbel(mcts, tree, sim_idx):
+    """[B, A] Gumbel noise for this selection: fresh per sim_idx when
+    gumbel_per_selection (sim_idx=None tags the final move pick)."""
+    if not mcts.cfg.gumbel_per_selection:
+        return tree.root_gumbel
+    key = tree.gumbel_key[0]
+    tag = 0x00BE57 if sim_idx is None else sim_idx
+    return jax.random.gumbel(
+        jax.random.fold_in(key, tag), tree.root_gumbel.shape
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,7 +106,7 @@ def _sigma(mcts, q, max_visits):
     )
 
 
-def root_scores(mcts, tree):
+def root_scores(mcts, tree, sim_idx=None):
     """[B, A] Gumbel-SH selection scores at the root, -inf outside the
     candidate set; lanes where the SH budget is exhausted return all -inf so
     the caller falls back to PUCT (ProcessGumbelLogits returning false)."""
@@ -119,7 +136,8 @@ def root_scores(mcts, tree):
     target = c_at_seq[b_idx, t_star]                   # [B]
 
     sig = jnp.where(nv > 0, _sigma(mcts, q, max_visits[:, None]), 0.0)
-    logits = tree.root_gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig
+    gumbel = _selection_gumbel(mcts, tree, sim_idx)
+    logits = gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig
 
     cand = legal & (visits == target[:, None])
     return jnp.where(cand & active[:, None], logits, -jnp.inf)
@@ -182,7 +200,8 @@ def gumbel_move(mcts, tree, allow_pass):
     q, nv = _child_gumbel_eval(mcts, tree, color)
     max_visits = jnp.max(jnp.where(legal, nv, 0), axis=-1)
     sig = jnp.where(nv > 0, _sigma(mcts, q, max_visits[:, None]), 0.0)
-    logits = tree.root_gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig
+    gumbel = _selection_gumbel(mcts, tree, None)
+    logits = gumbel + jnp.log(jnp.maximum(prior, 1e-25)) + sig
 
     cand = legal & (nv == max_visits[:, None]) & (max_visits[:, None] > 0)
     scores = jnp.where(cand, logits, -jnp.inf)
