@@ -673,10 +673,15 @@ class Agent:
             tree, _ = self.think(playouts=min(self.playouts, 400))
             v1 = max(int(np.asarray(tree.visits[0, 0])), 1)
             wl_b = float(np.asarray(tree.acc_wl[0, 0])) / v1
-            # compare in the same perspective as the empty-board search
-            # (both searches are black-to-move-aligned via black WL)
-            upper = fair_wl_b + 0.025
-            if wl_b > upper or wl_b < 1.0 - upper:
+            # the reference compares in the CANDIDATE's to-move
+            # perspective, flipping the fair winrate when the opening
+            # leaves the other color to move (gtp.cc:723-729)
+            if self.to_move() == 0:
+                fair_tm, eval_tm = fair_wl_b, wl_b
+            else:
+                fair_tm, eval_tm = 1.0 - fair_wl_b, 1.0 - wl_b
+            upper = fair_tm + 0.025
+            if eval_tm > upper or eval_tm < 1.0 - upper:
                 continue
             seen.update(hs)
             out.append(game_to_sgf(size, self.komi, moves))
