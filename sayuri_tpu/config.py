@@ -97,7 +97,15 @@ OPTIONS: dict[str, Opt] = {
 }
 
 # reference CLI spellings that differ from the option name (config.cc)
-_ALIASES = {"book": "book_file"}
+_ALIASES = {
+    "book": "book_file",
+    "patterns": "patterns_file",
+    "weights": "weights_file",
+    "board_size": "boardsize",
+    "noise": "dirichlet_noise",
+    "reduce_playouts": "fastsearch_playouts",
+    "reduce_playouts_prob": "fastsearch_playouts_prob",
+}
 
 
 class Options:

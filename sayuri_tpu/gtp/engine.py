@@ -117,15 +117,49 @@ class Agent:
         self.size = size
         self.komi = komi
         self.rule = rule
+        self._build_eval_fns()
+        self.state = self._single(self.env.new_state(komi=komi, rule=rule))
+        self.history: list[GoState] = []
+        self.moves: list[tuple[int, int]] = []  # (color, vertex)
+        # territory-rule dead-stone map from the last area playout
+        # (GameState::territory_helper_, game_state.h:211)
+        self._territory_helper = None
+        self._drop_tree()
+
+    def _gammas_arg(self):
+        """(DeviceGammas, factor) for per-expansion policy mixing
+        (node.cc:151-160), or None when patterns are off. The compiled
+        device table is cached per GammasDict instance."""
+        if self.gammas is None or self.gammas_policy_factor <= 0:
+            return None
+        from sayuri_tpu.pattern.gammas_jax import DeviceGammas
+
+        if getattr(self, "_gammas_dev_src", None) is not self.gammas:
+            self._gammas_dev = DeviceGammas.compile(self.gammas)
+            self._gammas_dev_src = self.gammas
+        return (self._gammas_dev, float(self.gammas_policy_factor))
+
+    def refresh_gammas(self):
+        """Live setoption change of patterns/factor: the mixing factor and
+        table are baked into the jitted eval path, so rebuild it (without
+        touching the game state)."""
+        self._build_eval_fns()
+        self._drop_tree()
+
+    def _build_eval_fns(self):
+        gammas_arg = self._gammas_arg()
+        self._gammas_in_eval = gammas_arg is not None
         if self.variables is not None and self.net_cfg is not None:
             net = SayuriNet(self.net_cfg)
             # search queries ensemble over a random symmetry per leaf
             # (Network::kRandom, node.cc:146); debug probes (raw_nn,
             # wdl_rating) use the direct evaluator (kDirect, gtp.cc:789)
+            # and never mix gammas (the reference's mixing lives in
+            # Node::GetNetOutput, not Network::GetOutput)
             sym = "random" if self.symmetry_ensemble else 0
             self.eval_fn = make_eval_fn(
                 self.env, net, self.variables, symmetry=sym,
-                policy_temp=self.policy_temp,
+                policy_temp=self.policy_temp, gammas=gammas_arg,
             )
             self.eval_fn_direct = make_eval_fn(
                 self.env, net, self.variables, symmetry=0,
@@ -141,19 +175,20 @@ class Agent:
             self.eval_fn_direct = self.eval_fn
             self.eval_fn_avg = self.eval_fn
             self.has_net = False
+            if gammas_arg is not None:
+                from sayuri_tpu.pattern.gammas_jax import (
+                    wrap_eval_with_gammas,
+                )
+
+                self.eval_fn = wrap_eval_with_gammas(
+                    self.env, self.eval_fn, *gammas_arg
+                )
         if getattr(self, "use_rollout", False):
             from sayuri_tpu.mcts.rollout import wrap_eval_with_rollout
 
             self.eval_fn = wrap_eval_with_rollout(self.env, self.eval_fn)
         self.mcts = MCTS(self.env, self.eval_fn, self.search_cfg)
-        self.state = self._single(self.env.new_state(komi=komi, rule=rule))
-        self.history: list[GoState] = []
-        self.moves: list[tuple[int, int]] = []  # (color, vertex)
         self._jit_cache = {}
-        # territory-rule dead-stone map from the last area playout
-        # (GameState::territory_helper_, game_state.h:211)
-        self._territory_helper = None
-        self._drop_tree()
 
     def _drop_tree(self):
         """Forget the retained search tree (ReleaseTree, search.cc)."""
@@ -340,14 +375,16 @@ class Agent:
         return tree, ctx
 
     def _mix_gammas_policy(self, tree):
-        """Mix the pattern-gammas policy into the ROOT priors
-        (node.cc:151-160: p = (1-f)*nn + f*(1-pass_prob)*gammas, with the
-        gammas scaled by NN ownership through the Pachi MC-owner table).
-        The reference mixes at every expansion; here the host-side pattern
-        probe runs once per search at the root, where the priors steer the
-        whole search — leaf expansions keep the raw NN policy."""
+        """Host-side ROOT gammas mix (node.cc:151-160: p = (1-f)*nn +
+        f*(1-pass_prob)*gammas, gammas scaled by NN ownership through the
+        Pachi MC-owner table). Only a fallback: when patterns were loaded
+        at construction/refresh time, the device table mixes at EVERY
+        expansion inside the jitted eval path (pattern/gammas_jax.py) —
+        including the root — so this host probe must not double-mix."""
         f = self.gammas_policy_factor
         if self.gammas is None or f <= 0:
+            return tree
+        if getattr(self, "_gammas_in_eval", False):
             return tree
         size = self.size
         prior = np.asarray(tree.prior[0, 0]).copy()
@@ -363,9 +400,11 @@ class Agent:
             last_move=last, ownership=own,
         )
         reduction = 1.0 - prior[size * size]
-        mixed = (1.0 - f) * prior
-        mixed[: size * size] += f * reduction * gp[: size * size]
-        mixed[size * size] += f * reduction * gp[size * size]
+        mixed = prior.copy()  # pass stays untouched (node.cc:157 loop
+        # covers board cells only)
+        mixed[: size * size] = (1.0 - f) * prior[: size * size] + (
+            f * reduction * gp[: size * size]
+        )
         mixed = np.where(legal, mixed, 0.0)
         s = mixed.sum()
         if s > 0:

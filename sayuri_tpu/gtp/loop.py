@@ -541,7 +541,7 @@ class GtpLoop:
             self.agent._drop_tree()
         elif name == "gammas policy factor":
             self.agent.gammas_policy_factor = min(1.0, max(0.0, float(value)))
-            self.agent._drop_tree()
+            self.agent.refresh_gammas()
         elif name == "patterns file":
             from sayuri_tpu.pattern.gammas import GammasDict
 
@@ -549,7 +549,7 @@ class GtpLoop:
                 self.agent.gammas = GammasDict.load(value)
             except OSError:
                 return False, "cannot load patterns file"
-            self.agent._drop_tree()
+            self.agent.refresh_gammas()
         else:
             return False, "invalid option name"
         return True, ""

@@ -34,9 +34,14 @@ def make_eval_fn(
     symmetry: int | str = 0,
     ladder_mode: str = "root",
     sym_seed: int = 0,
+    gammas=None,
 ):
     """Build eval_fn(states [B], ctx) -> NetEvals. `variables` holds
     {'params', 'batch_stats'}.
+
+    `gammas`: optional (DeviceGammas, factor) — mixes the pattern-gammas
+    policy into the priors at EVERY evaluation, the reference's
+    per-expansion mixing (node.cc:151-160); see pattern/gammas_jax.py.
 
     `symmetry`:
     - int in [0, 8): a fixed symmetry index (0 = identity, Network::kDirect)
@@ -121,6 +126,20 @@ def make_eval_fn(
         else:
             legal = jax.vmap(env.legal_action_mask)(states)
 
+        def finish(evals: NetEvals) -> NetEvals:
+            """Per-expansion gammas mixing (node.cc:151-160), applied to
+            the final (possibly symmetry-ensembled) outputs — the
+            reference also mixes after GetOutput returns."""
+            if gammas is None:
+                return evals
+            from sayuri_tpu.pattern import gammas_jax as GJ
+
+            dev, factor = gammas
+            libs = analysis["libs"] if analysis is not None else None
+            return GJ.apply_to_evals(
+                dev, factor, states, evals, legal, libs=libs
+            )
+
         def postprocess(prob, wdl_logits, stm_score, ownership):
             """(prob logits, wdl logits, stm score, ownership) -> NetEvals
             (output mapping of blas_forward_pipe.cc:566-620)."""
@@ -164,7 +183,7 @@ def make_eval_fn(
             # renormalize the averaged priors over legal moves
             pri = jnp.where(legal, acc.priors, 0.0)
             pri = pri / jnp.maximum(jnp.sum(pri, -1, keepdims=True), 1e-12)
-            return acc._replace(priors=pri)
+            return finish(acc._replace(priors=pri))
 
         if symmetry == "random":
             # Network::kRandom (network.cc:243-245, node.cc:146): one
@@ -175,12 +194,12 @@ def make_eval_fn(
                 syms = S.random_symmetries(states, sym_seed)
             planes = S.transform_planes_batch(planes, syms)
             out = net.apply(variables, planes, train=False)
-            return postprocess(
+            return finish(postprocess(
                 S.inverse_transform_policy_batch(out["prob"], syms, n),
                 out["wdl"],
                 out["scores"][:, 0],
                 S.inverse_transform_policy_batch(out["ownership"], syms, n),
-            )
+            ))
 
         if symmetry:
             planes = S.transform_planes(planes, symmetry)
@@ -190,7 +209,9 @@ def make_eval_fn(
         if symmetry:
             prob = S.inverse_transform_policy(prob, symmetry, n)
             ownership = S.inverse_transform_policy(ownership, symmetry, n)
-        return postprocess(prob, out["wdl"], out["scores"][:, 0], ownership)
+        return finish(
+            postprocess(prob, out["wdl"], out["scores"][:, 0], ownership)
+        )
 
     return eval_fn
 
