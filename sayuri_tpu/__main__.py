@@ -24,8 +24,16 @@ def run_gtp(opts: Options):
         gammas_policy_factor=opts.get("gammas_policy_factor"),
         use_rollout=opts.get("use_rollout"),
         ponder=opts.get("ponder"),
+        ponder_factor=opts.get("ponder_factor"),
         kldgain_per_node=opts.get("kldgain_per_node"),
         kldgain_interval=opts.get("kldgain_interval"),
+        policy_temp=opts.get("policy_temp"),
+        root_policy_temp=opts.get("root_policy_temp"),
+        suppress_pass_factor=opts.get("suppress_pass_factor"),
+        use_stm_winrate=opts.get("use_stm_winrate"),
+        use_optimistic_policy=opts.get("use_optimistic_policy"),
+        timemanage=opts.get("timemanage"),
+        symm_pruning=opts.get("symm_pruning"),
     )
     wf = opts.get("weights_file")
     if wf:
@@ -47,6 +55,8 @@ def run_gtp(opts: Options):
         const_time=opts.get("const_time"),
         lag_buffer=opts.get("lag_buffer"),
         resign_threshold=opts.get("resign_threshold"),
+        kgs_hint=opts.get("kgs_hint"),
+        logfile=opts.get("logfile") or None,
     ).run()
 
 

@@ -38,7 +38,13 @@ OPTIONS: dict[str, Opt] = {
     "analysis_verbose": Opt(False),
     "reuse_tree": Opt(True),
     "ponder": Opt(False),
+    # ponder_playouts = playouts * ponder_factor (GetPonderPlayouts,
+    # search.cc:1551-1560)
+    "ponder_factor": Opt(100, 1, 100000),
     "resign_threshold": Opt(0.1, 0.0, 1.0),
+    # early-stop time management: off/on/fast/keep
+    # (Search::InputPending, search.cc:1435-1498)
+    "timemanage": Opt("off"),
     # time-management extras (config.cc:81,113-114) and the opening book
     # (--book, config.cc:54,795)
     "lag_buffer": Opt(0.0, 0.0, 60.0),
@@ -48,7 +54,15 @@ OPTIONS: dict[str, Opt] = {
     # NN eval cache entries per search lane (the reference sizes its cache
     # in MiB, --cache-memory-mib, network.cc:102-121; here the unit is
     # entries because the store is dense device arrays). 0 disables.
+    # --cache-memory-mib / --no-cache convert into this at parse time.
     "nn_cache_size": Opt(512, 0, 1 << 20),
+    "cache_memory_mib": Opt(0, 0, 1 << 20),
+    # canonical-symmetry cache keys for opening positions
+    # (--early-symm-cache, network.cc:211-216)
+    "early_symm_cache": Opt(False),
+    # root symmetry pruning in the opening (--symm-pruning,
+    # node.cc:193-247)
+    "symm_pruning": Opt(False),
     # legacy pattern system (config.cc:55,77)
     "patterns_file": Opt(""),
     "gammas_policy_factor": Opt(0.0, 0.0, 1.0),
@@ -71,7 +85,23 @@ OPTIONS: dict[str, Opt] = {
     "gumbel_c_visit": Opt(50.0),
     "gumbel_c_scale": Opt(1.0),
     "gumbel_considered_moves": Opt(16),
+    "gumbel_prom_visits": Opt(1, 1, 1 << 20),
+    "gumbel_playouts_threshold": Opt(400, 1, 1 << 30),
     "always_completed_q_policy": Opt(False),
+    "ci_alpha": Opt(1e-5, 0.0, 1.0),
+    # policy softmax temperatures (config.cc:79-80,289-292: root temp
+    # follows policy_temp unless set explicitly; < 0 = follow)
+    "policy_temp": Opt(1.0, 0.0, 100.0),
+    "root_policy_temp": Opt(-1.0, -1.0, 100.0),
+    # remove pass from expansion candidates while more than
+    # (1 - factor) * intersections legal moves remain (node.cc:253-263)
+    "suppress_pass_factor": Opt(0.1667, 0.0, 1.0),
+    # wl from the net's stm-winrate head instead of (w-l+1)/2
+    # (node.cc:319-325)
+    "use_stm_winrate": Opt(False),
+    # search policy from the optimistic policy head at non-root nodes
+    # (--use-optimistic-policy, node.cc:130-143)
+    "use_optimistic_policy": Opt(False),
     "dirichlet_noise": Opt(False),
     "dirichlet_epsilon": Opt(0.25),
     "dirichlet_init": Opt(0.03),
@@ -83,6 +113,10 @@ OPTIONS: dict[str, Opt] = {
     "random_moves_factor": Opt(0.0),
     "random_moves_temp": Opt(1.0, 0.0, 100.0),
     "random_fastsearch_prob": Opt(0.0, 0.0, 1.0),
+    "random_min_ratio": Opt(0.0, 0.0, 1.0),
+    "random_min_visits": Opt(1, 0, 1 << 30),
+    "random_opening_prob": Opt(-1.0, -1.0, 1.0),
+    "random_opening_temp": Opt(1.2, 0.0, 100.0),
     "komi_stddev": Opt(0.0),
     "komi_big_stddev": Opt(0.0),
     "komi_big_stddev_prob": Opt(0.0, 0.0, 1.0),
@@ -94,6 +128,19 @@ OPTIONS: dict[str, Opt] = {
     "target_directory": Opt(""),
     # benchmark
     "benchmark_query": Opt("", multi=True),
+    # misc front-end
+    "kgs_hint": Opt(""),          # appended to the version string (gtp.h:83)
+    "logfile": Opt(""),           # tee GTP protocol I/O to a file
+    "fixed_nn_boardsize": Opt(0, 0, 25),
+    # accepted for reference CLI compatibility; no-ops on TPU (GPU device
+    # lists, host threading and fp16/winograd kernel selection dissolve
+    # into XLA; virtual loss has no meaning in lockstep array search)
+    "gpu": Opt(0, 0, 1024, multi=True),
+    "gpu_waittime": Opt(0, 0, 1 << 30),
+    "threads": Opt(0, 0, 4096),
+    "no_fp16": Opt(False),
+    "no_winograd": Opt(False),
+    "virtual_loss_count": Opt(1, 0, 1 << 20),
 }
 
 # reference CLI spellings that differ from the option name (config.cc)
@@ -115,11 +162,31 @@ class Options:
             self._vals[k] = list() if o.multi else o.default
 
     def get(self, name):
+        if name == "nn_cache_size" and self._vals["cache_memory_mib"] > 0:
+            # --cache-memory-mib sizing (network.cc:102-121) converted to
+            # dense-array entries: one entry holds priors [A] + ownership
+            # [n*n] f32 + a few scalars
+            n = self._vals["boardsize"]
+            entry_bytes = (2 * n * n + 16) * 4
+            return max(
+                1,
+                (self._vals["cache_memory_mib"] << 20) // entry_bytes,
+            )
         return self._vals[name]
+
+    def print_help(self):
+        print("Options (reference CLI spellings, config.cc):")
+        for k, o in sorted(OPTIONS.items()):
+            print(f"  --{k.replace('_', '-')}"
+                  f" (default {o.default!r})")
 
     def set(self, name, value):
         o = OPTIONS[name]
         ref = o.default
+        if name == "timemanage" and value not in (
+            "off", "on", "fast", "keep"
+        ):
+            raise ValueError("--timemanage takes off|on|fast|keep")
         if isinstance(ref, bool):
             if isinstance(value, str):
                 value = value.lower() in ("1", "true", "yes", "on")
@@ -147,6 +214,24 @@ class Options:
             if name == "config":
                 self.parse_file(argv[i + 1])
                 i += 2
+                continue
+            if name == "help":
+                self.print_help()
+                raise SystemExit(0)
+            if name == "no_cache":  # config.cc --no-cache
+                self._vals["nn_cache_size"] = 0
+                self._vals["cache_memory_mib"] = 0
+                i += 1
+                continue
+            # --no-X negates a boolean option X (--no-cpuct-dynamic etc.)
+            if (
+                name.startswith("no_")
+                and name not in OPTIONS
+                and name[3:] in OPTIONS
+                and isinstance(OPTIONS[name[3:]].default, bool)
+            ):
+                self._vals[name[3:]] = False
+                i += 1
                 continue
             if name not in OPTIONS:
                 raise ValueError(f"unknown option --{tok[2:]}")
@@ -191,6 +276,9 @@ class Options:
             gumbel_c_visit=g("gumbel_c_visit"),
             gumbel_c_scale=g("gumbel_c_scale"),
             gumbel_considered_moves=g("gumbel_considered_moves"),
+            gumbel_prom_visits=g("gumbel_prom_visits"),
+            gumbel_playouts_threshold=g("gumbel_playouts_threshold"),
+            ci_alpha=g("ci_alpha"),
             dirichlet_noise=g("dirichlet_noise"),
             dirichlet_epsilon=g("dirichlet_epsilon"),
             dirichlet_init=g("dirichlet_init"),
@@ -214,6 +302,10 @@ class Options:
             random_moves_factor=g("random_moves_factor"),
             random_moves_temp=g("random_moves_temp"),
             random_fastsearch_prob=g("random_fastsearch_prob"),
+            random_min_ratio=g("random_min_ratio"),
+            random_min_visits=g("random_min_visits"),
+            random_opening_prob=g("random_opening_prob"),
+            random_opening_temp=g("random_opening_temp"),
             komi_stddev=g("komi_stddev"),
             komi_big_stddev=g("komi_big_stddev"),
             komi_big_stddev_prob=g("komi_big_stddev_prob"),

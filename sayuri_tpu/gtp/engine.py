@@ -71,6 +71,13 @@ class Agent:
         use_rollout: bool = False,
         symmetry_ensemble: bool = True,
         policy_temp: float = 1.0,
+        root_policy_temp: float = -1.0,
+        suppress_pass_factor: float = 0.1667,
+        use_stm_winrate: bool = False,
+        use_optimistic_policy: bool = False,
+        timemanage: str = "off",
+        ponder_factor: int = 100,
+        symm_pruning: bool = False,
     ):
         self.n_buffer = boardsize
         self.playouts = playouts
@@ -106,6 +113,16 @@ class Agent:
         self.use_rollout = use_rollout
         self.symmetry_ensemble = symmetry_ensemble
         self.policy_temp = float(policy_temp)
+        # root follows policy_temp unless set explicitly (config.cc:289-292)
+        self.root_policy_temp = float(root_policy_temp)
+        self.suppress_pass_factor = float(suppress_pass_factor)
+        self.use_stm_winrate = bool(use_stm_winrate)
+        self.use_optimistic_policy = bool(use_optimistic_policy)
+        # early-stop time management (off/on/fast/keep, search.cc:1435-1498)
+        self.timemanage = timemanage
+        self.ponder_factor = max(1, int(ponder_factor))
+        # root symmetry pruning in the opening (node.cc:193-247)
+        self.symm_pruning = bool(symm_pruning)
         self._np_rng = np.random.RandomState(seed)
         self._build(boardsize, komi)
 
@@ -149,29 +166,54 @@ class Agent:
     def _build_eval_fns(self):
         gammas_arg = self._gammas_arg()
         self._gammas_in_eval = gammas_arg is not None
+        root_eval_fn = None
         if self.variables is not None and self.net_cfg is not None:
             net = SayuriNet(self.net_cfg)
             # search queries ensemble over a random symmetry per leaf
             # (Network::kRandom, node.cc:146); debug probes (raw_nn,
             # wdl_rating) use the direct evaluator (kDirect, gtp.cc:789)
-            # and never mix gammas (the reference's mixing lives in
-            # Node::GetNetOutput, not Network::GetOutput)
+            # and never mix gammas or suppress pass (the reference does
+            # both in Node::GetNetOutput/ExpandChildren, not in
+            # Network::GetOutput)
             sym = "random" if self.symmetry_ensemble else 0
+            leaf_head = (
+                "optimistic_prob" if self.use_optimistic_policy else "prob"
+            )
             self.eval_fn = make_eval_fn(
                 self.env, net, self.variables, symmetry=sym,
                 policy_temp=self.policy_temp, gammas=gammas_arg,
+                policy_head=leaf_head,
+                suppress_pass_factor=self.suppress_pass_factor,
+                use_stm_winrate=self.use_stm_winrate,
             )
+            # the ROOT is always evaluated with the normal policy head and
+            # root_policy_temp (Node::GetNetOutput, node.cc:130-143)
+            root_temp = (
+                self.root_policy_temp
+                if self.root_policy_temp > 0
+                else self.policy_temp
+            )
+            if leaf_head != "prob" or root_temp != self.policy_temp:
+                root_eval_fn = make_eval_fn(
+                    self.env, net, self.variables, symmetry=sym,
+                    policy_temp=root_temp, gammas=gammas_arg,
+                    policy_head="prob",
+                    suppress_pass_factor=self.suppress_pass_factor,
+                    use_stm_winrate=self.use_stm_winrate,
+                )
             self.eval_fn_direct = make_eval_fn(
                 self.env, net, self.variables, symmetry=0,
-                policy_temp=self.policy_temp,
+                policy_temp=self.policy_temp, suppress_pass_factor=0.0,
             )
             self.eval_fn_avg = make_eval_fn(
                 self.env, net, self.variables, symmetry="average",
-                policy_temp=self.policy_temp,
+                policy_temp=self.policy_temp, suppress_pass_factor=0.0,
             )
             self.has_net = True
         else:
-            self.eval_fn = make_dummy_eval_fn(self.env)
+            self.eval_fn = make_dummy_eval_fn(
+                self.env, suppress_pass_factor=self.suppress_pass_factor
+            )
             self.eval_fn_direct = self.eval_fn
             self.eval_fn_avg = self.eval_fn
             self.has_net = False
@@ -187,7 +229,10 @@ class Agent:
             from sayuri_tpu.mcts.rollout import wrap_eval_with_rollout
 
             self.eval_fn = wrap_eval_with_rollout(self.env, self.eval_fn)
-        self.mcts = MCTS(self.env, self.eval_fn, self.search_cfg)
+        self.mcts = MCTS(
+            self.env, self.eval_fn, self.search_cfg,
+            root_eval_fn=root_eval_fn,
+        )
         self._jit_cache = {}
 
     def _drop_tree(self):
@@ -333,6 +378,66 @@ class Agent:
             "superko", lambda: jax.jit(jax.vmap(self.env.superko_action_mask))
         )(self.state)
 
+    def _symm_prune_keep(self):
+        """[A] bool keep-mask pruning symmetric duplicate root moves in
+        the opening (apply while move_number <= board_size,
+        node.cc:193-247): each vertex's orbit key is the lexicographic
+        min over the 8 dihedral symmetries of
+        symmetry_hash(board, s) ^ zobrist_key(mover, T_s(vertex)); only
+        the lowest-index member of each orbit is kept. Like the
+        reference, capture effects on the hash are ignored (captures are
+        rare in the opening)."""
+        from sayuri_tpu.game import board as B_
+        from sayuri_tpu.game.types import C_BLACK, C_WHITE
+        from sayuri_tpu.models import symmetry as S
+
+        n = self.size
+
+        def fn(state):
+            stones = state.stones[0]
+            tm = state.to_move[0]
+            cells, _ = B_._zobrist_tables(n)
+            keys = jnp.where(
+                tm[None, None] == 0, cells[:, C_BLACK], cells[:, C_WHITE]
+            )  # [2, n*n]
+            best = None
+            for s in range(8):
+                # the transforms are pure flips/transposes — dtype-safe
+                # for int8 boards and uint32 key tables alike
+                base = B_.position_hash(
+                    S.transform_planes(stones[:, :, None], s)[:, :, 0],
+                    n,
+                )  # [2]
+                # key(T_s(v)) for all v: transform_planes(x,s)[u] reads
+                # x[T_s^-1(u)], so the stone played at v lands at T_s(v)
+                # in the transformed frame — the INVERSE transform of the
+                # key planes yields keys[T_s(v)] at v
+                k_s = (
+                    S.inverse_transform_planes(keys.T.reshape(n, n, 2), s)
+                    .reshape(n * n, 2)
+                    .T
+                )
+                h = base[:, None] ^ k_s  # [2, n*n]
+                if best is None:
+                    best = h
+                else:
+                    better = (h[0] < best[0]) | (
+                        (h[0] == best[0]) & (h[1] < best[1])
+                    )
+                    best = jnp.where(better[None], h, best)
+            # keep the lowest flat index per orbit key
+            same = (best[0][:, None] == best[0][None, :]) & (
+                best[1][:, None] == best[1][None, :]
+            )
+            idx = jnp.arange(n * n)
+            earlier = same & (idx[None, :] < idx[:, None])
+            keep_board = ~jnp.any(earlier, axis=1)
+            return jnp.concatenate(
+                [keep_board, jnp.ones((1,), bool)]
+            )
+
+        return self._get_jit("symm_prune", lambda: jax.jit(fn))(self.state)
+
     def _prepare_root(self, prior_mask=None):
         """Reuse-or-rebuild the root forest for the current position
         (PrepareRootNode, search.cc:139-181). Returns (tree, ctx).
@@ -341,6 +446,10 @@ class Agent:
         purge mask; move restrictions force a fresh tree (the reference
         releases the tree when analyze avoid/allow are set, gtp.cc)."""
         mask = np.asarray(~self._superko_mask())
+        if self.symm_pruning and len(self.moves) <= self.size:
+            # opening-only root orbit pruning (node.cc:194: applies while
+            # board_size >= move_number)
+            mask = mask & np.asarray(self._symm_prune_keep())[None]
         if prior_mask is not None:
             mask = mask & np.asarray(prior_mask)
             self._drop_tree()
@@ -431,6 +540,32 @@ class Agent:
             last_move=last,
         )
 
+    def _one_reasonable_move(self, tree, done, cap_left, elapsed, budget):
+        """True when exactly one root child can still matter: every other
+        child can neither catch the visit leader with the playouts that
+        remain nor beat the leader's LCB (the timemanage early-stop test,
+        search.cc:1447-1476)."""
+        visits = np.asarray(self.mcts.root_child_visits(tree))[0]
+        prior = np.asarray(tree.prior[0, 0])
+        cand = prior > 0
+        if cand.sum() <= 1:
+            return True
+        est = cap_left
+        remaining = max(budget - elapsed, 0.0)
+        est = min(est, int(round(remaining * done / max(elapsed, 1e-9))))
+        top = visits.max()
+        lcb = np.asarray(self.mcts.root_lcb_scores(tree))[0]
+        q = np.asarray(
+            self.mcts.root_child_q(
+                tree, jnp.asarray([self.to_move()], jnp.int32)
+            )
+        )[0]
+        visited = visits > 0
+        toplcb = lcb[visited].max() if visited.any() else -np.inf
+        good = (visits + est >= top) | (visited & (q >= toplcb))
+        bad_cnt = int((cand & ~good).sum())
+        return bad_cnt == int(cand.sum()) - 1
+
     def think(
         self,
         playouts=None,
@@ -439,6 +574,7 @@ class Agent:
         analyze_interval=0.0,
         prior_mask=None,
         stop_check=None,
+        tm_allowed=False,
     ):
         """Search the current position with the reference's stop conditions
         (Computation's main-thread poll, search.cc:353-386): playout cap,
@@ -483,6 +619,22 @@ class Agent:
             tree = run(tree, ctx)
             done += chunk
             self._tree = tree
+
+            # timemanage early stop: save clock when only one move is
+            # still reasonable (search.cc:1435-1498; mode gating done by
+            # the GTP loop via tm_allowed)
+            if (
+                tm_allowed
+                and self.timemanage != "off"
+                and time_budget is not None
+                and done >= 100
+            ):
+                el = time.monotonic() - t0
+                if el >= 1.0 and self._one_reasonable_move(
+                    tree, done, playouts - done, el, time_budget
+                ):
+                    stopped_by = "timemanage"
+                    break
 
             if next_analyze is not None and time.monotonic() >= next_analyze:
                 analyze_cb(tree)
@@ -530,7 +682,9 @@ class Agent:
         reuse by the next think()."""
         if not self.ponder_enabled:
             return None
-        max_playouts = max_playouts or 10 * self.playouts
+        # ponder_playouts = playouts * ponder_factor (GetPonderPlayouts,
+        # search.cc:1551-1560)
+        max_playouts = max_playouts or self.ponder_factor * self.playouts
         tree, stats = self.think(playouts=max_playouts, stop_check=stop_check)
         return stats
 
@@ -542,6 +696,7 @@ class Agent:
         time_budget=None,
         analyze_cb=None,
         analyze_interval=0.0,
+        tm_allowed=False,
     ):
         """Search and play the best move (ThinkBestMove, search.cc:864).
         An opening-book hit short-circuits the search (search.cc:295-300)."""
@@ -568,6 +723,7 @@ class Agent:
             time_budget=time_budget,
             analyze_cb=analyze_cb,
             analyze_interval=analyze_interval,
+            tm_allowed=tm_allowed,
         )
         best = int(np.asarray(self.mcts.best_move(tree))[0])
         root_v = np.asarray(tree.visits[:, 0])[0]

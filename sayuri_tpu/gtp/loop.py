@@ -77,6 +77,7 @@ def _color_arg(tok):
 class GtpLoop:
     def __init__(self, agent: Agent | None = None, const_time: float = 0.0,
                  lag_buffer: float = 0.0, resign_threshold: float = 0.1,
+                 kgs_hint: str = "", logfile: str | None = None,
                  **agent_kwargs):
         self.agent = agent or Agent(**agent_kwargs)
         self.time = TimeControl()
@@ -87,6 +88,11 @@ class GtpLoop:
         self.lag_buffer_floor = max(float(lag_buffer), 0.0)
         self.time.lag_buffer = self.lag_buffer_floor
         self.resign_threshold = min(1.0, max(0.0, float(resign_threshold)))
+        # --kgs-hint is appended to the verbose version string shown to
+        # KGS users (gtp.h:83-92)
+        self.kgs_hint = kgs_hint
+        # --logfile tees the GTP dialogue (config.cc --logfile semantics)
+        self._log = open(logfile, "a") if logfile else None
         self.running = True
 
     # ------------------------------------------------------------------
@@ -130,6 +136,12 @@ class GtpLoop:
 
         threading.Thread(target=reader, daemon=True).start()
         self._inq = q
+
+        def tee(text):
+            if self._log is not None:
+                self._log.write(text)
+                self._log.flush()
+
         can_ponder = False
         while self.running:
             if (
@@ -144,6 +156,7 @@ class GtpLoop:
             line = q.get()
             if line is None:
                 break
+            tee(line)
             stripped = line.split("#", 1)[0].strip()
             parts = stripped.split()
             cmd_id = parts[0] if parts and parts[0].isdigit() else ""
@@ -154,17 +167,21 @@ class GtpLoop:
             if isinstance(body, StreamBody):
                 outstream.write(f"{prefix}\n")
                 outstream.flush()
+                tee(f"{prefix}\n")
 
                 def emit(text):
                     outstream.write(text)
                     outstream.flush()
+                    tee(text)
 
                 body.run(emit, lambda: not q.empty())
                 outstream.write("\n")
                 outstream.flush()
+                tee("\n")
             else:
                 outstream.write(f"{prefix} {body}\n\n")
                 outstream.flush()
+                tee(f"{prefix} {body}\n\n")
             can_ponder = True
             if not self.running:
                 break
@@ -178,6 +195,8 @@ class GtpLoop:
         return True, "sayuri-tpu"
 
     def _cmd_version(self, args):
+        if self.kgs_hint:
+            return True, f"{__version__}. {self.kgs_hint}"
         return True, __version__
 
     def _cmd_known_command(self, args):
@@ -263,11 +282,32 @@ class GtpLoop:
         beffect = self.time.buffer_effect(
             color, self.agent.size, len(self.agent.moves)
         )
+        # timemanage mode gating (search.cc:1477-1496): "on" needs an
+        # accumulating clock, "keep" only saves time in the byo phase,
+        # "fast" always saves; const-time clocks never accumulate
+        tm = self.agent.timemanage
+        tm_allowed = (
+            tm != "off"
+            and budget is not None
+            and not self.time.is_infinite()
+            and not (
+                tm == "on"
+                and (
+                    self.const_time > 0
+                    or not self.time.can_accumulate(color)
+                )
+            )
+            and not (
+                tm == "keep"
+                and (self.const_time > 0 or not self.time.in_byo[color])
+            )
+        )
         t0 = _t.monotonic()
         move, tree = self.agent.genmove(
             color,
             time_budget=budget,
             resign_threshold=self.resign_threshold,
+            tm_allowed=tm_allowed,
             **kw,
         )
         elapsed = _t.monotonic() - t0

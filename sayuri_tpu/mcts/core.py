@@ -33,6 +33,7 @@ Implemented Sayuri search semantics, with source citations inline:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -162,13 +163,18 @@ class SearchConfig:
     gumbel_c_visit: float = 50.0
     gumbel_c_scale: float = 1.0
     gumbel_considered_moves: int = 16
+    # SH promotion visits + sigma visit cap (config.cc:102,104)
+    gumbel_prom_visits: int = 1
+    gumbel_playouts_threshold: int = 400
     # the reference draws FRESH Gumbel noise at every selection and at the
     # final move pick (std::extreme_value_distribution constructed inside
     # ProcessGumbelLogits, node.cc:1734); False = one draw per search
     # (the original Gumbel-AlphaZero formulation)
     gumbel_per_selection: bool = True
-    # LCB best-move selection
+    # LCB best-move selection; ci_alpha = complement probability of the
+    # confidence interval (config.cc:63,140)
     lcb_reduction: float = 0.02
+    ci_alpha: float = 1e-5
     # NN eval cache (cache.h / network.cc:102-121): entries per lane;
     # 0 disables. Hit/frozen/terminal lanes are compacted out of the
     # forward (see mcts/nncache.py).
@@ -319,30 +325,30 @@ def _norm_to_t_approx(z, dof):
     return np.where(dof > 8, hi, lo)
 
 
+def _phi_inv(p):
+    # Abramowitz & Stegun 26.2.23 (lcb.h:9-33)
+    t = np.sqrt(-2.0 * np.log(1.0 - p))
+    c = (2.515517, 0.802853, 0.010328)
+    d = (1.432788, 0.189269, 0.001308)
+    return t - ((c[2] * t + c[1]) * t + c[0]) / (
+        ((d[2] * t + d[1]) * t + d[0]) * t + 1.0
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _make_lcb_z_table(ci_alpha=1e-5, size=1000):
     """Cached t-quantile table (LcbEntries::Initialize, lcb.h:47-87):
     entry i = NormToTApprox(Phi^-1(1 - ci_alpha), dof=i)."""
-    from scipy.stats import norm  # available via jax deps
+    try:
+        from scipy.stats import norm  # available via jax deps
 
-    z = float(norm.ppf(1.0 - ci_alpha))
+        z = float(norm.ppf(1.0 - ci_alpha))
+    except Exception:  # no scipy: inline Acklam-style inverse-normal
+        z = float(_phi_inv(1.0 - ci_alpha))
     return _norm_to_t_approx(z, np.arange(size)).astype(np.float32)
 
 
-try:
-    _LCB_Z_TABLE = _make_lcb_z_table()
-except Exception:  # no scipy: inline Acklam-style inverse-normal
-    def _phi_inv(p):
-        # Abramowitz & Stegun 26.2.23 (lcb.h:9-33)
-        t = np.sqrt(-2.0 * np.log(1.0 - p))
-        c = (2.515517, 0.802853, 0.010328)
-        d = (1.432788, 0.189269, 0.001308)
-        return t - ((c[2] * t + c[1]) * t + c[0]) / (
-            ((d[2] * t + d[1]) * t + d[0]) * t + 1.0
-        )
-
-    _LCB_Z_TABLE = _norm_to_t_approx(
-        _phi_inv(1.0 - 1e-5), np.arange(1000)
-    ).astype(np.float32)
+_LCB_Z_TABLE = _make_lcb_z_table()
 
 
 def expected_score_value(mean, stddev, center, div, board_size):
@@ -356,9 +362,16 @@ def expected_score_value(mean, stddev, center, div, board_size):
 class MCTS:
     """Batched search driver bound to an env + eval function."""
 
-    def __init__(self, env: GoEnv, eval_fn: EvalFn, cfg: SearchConfig):
+    def __init__(self, env: GoEnv, eval_fn: EvalFn, cfg: SearchConfig,
+                 root_eval_fn: EvalFn | None = None):
         self.env = env
         self.eval_fn = eval_fn
+        # the reference evaluates the ROOT with the normal policy head and
+        # root_policy_temp, leaves with the default head and policy_temp
+        # (Node::GetNetOutput, node.cc:130-143); a distinct root evaluator
+        # bypasses the shared NN cache so root-flavored outputs never
+        # pollute leaf entries
+        self.root_eval_fn = root_eval_fn
         self.cfg = cfg
         self.A = env.num_actions
 
@@ -391,7 +404,12 @@ class MCTS:
             from sayuri_tpu.mcts import nncache as NC
 
             cache = NC.make_cache(b, cfg.nn_cache_size, A, hw)
-        if cache is not None:
+        if self.root_eval_fn is not None:
+            # root-flavored evaluator (root temp / normal head): never
+            # cached — one eval per search, and the cache must only hold
+            # leaf-flavored outputs
+            evals = self.root_eval_fn(root_states, ctx)
+        elif cache is not None:
             from sayuri_tpu.mcts import nncache as NC
 
             evals, cache = NC.cached_eval(cache, self.eval_fn,
@@ -1131,6 +1149,11 @@ class MCTS:
         reused = reused.replace(
             states_p8=reused.states_p8.at[:, 0].set(slim_p8),
             states_p32=reused.states_p32.at[:, 0].set(slim_p32),
+            # a reused root was expanded as a LEAF; refill its priors with
+            # the fresh root-flavored eval (root policy temp / normal
+            # head / root gammas), the reference's RecomputePolicy on
+            # reuse (node.cc:41-45, 83-125)
+            prior=reused.prior.at[:, 0].set(fresh.prior[:, 0]),
             root_noise=fresh.root_noise,
             root_gumbel=fresh.root_gumbel,
             gumbel_key=fresh.gumbel_key,
@@ -1211,7 +1234,10 @@ class MCTS:
         mean = jnp.where(color[:, None] == 0, wl_b, 1.0 - wl_b)
         var = jnp.where(visits > 1, g[..., 4] / jnp.maximum(nv - 1.0, 1.0), 1.0)
         stddev = jnp.sqrt(jnp.maximum(var, 0.0))
-        z_tab = jnp.asarray(_LCB_Z_TABLE)
+        if cfg.ci_alpha == 1e-5:
+            z_tab = jnp.asarray(_LCB_Z_TABLE)
+        else:  # non-default --ci-alpha (config.cc:63,140)
+            z_tab = jnp.asarray(_make_lcb_z_table(cfg.ci_alpha))
         z = z_tab[jnp.clip(visits - 2, 0, z_tab.shape[0] - 1)]
         lcb = mean - z * stddev / jnp.maximum(nv, 1.0)
         sign = jnp.where(color == 0, 1.0, -1.0)[:, None]

@@ -98,7 +98,7 @@ def _child_gumbel_eval(mcts, tree, color):
 
 def _sigma(mcts, q, max_visits):
     cfg = mcts.cfg
-    thres = 400  # gumbel_playouts_threshold (config.cc:104)
+    thres = cfg.gumbel_playouts_threshold  # config.cc:104
     return (
         (cfg.gumbel_c_visit + jnp.minimum(thres, max_visits))
         * cfg.gumbel_c_scale
@@ -114,7 +114,7 @@ def root_scores(mcts, tree, sim_idx=None):
     b = tree.stats.shape[0]
     b_idx = jnp.arange(b)
     A = tree.num_actions
-    thres = 400
+    thres = cfg.gumbel_playouts_threshold
 
     prior = tree.prior[:, 0]
     legal = prior > 0
@@ -127,7 +127,7 @@ def root_scores(mcts, tree, sim_idx=None):
     max_visits = jnp.maximum(sorted_v[:, 0], 0)
 
     seq, occ = sh_sequence(
-        min(cfg.gumbel_considered_moves, A), 1, thres
+        min(cfg.gumbel_considered_moves, A), cfg.gumbel_prom_visits, thres
     )
     c_at_seq = sorted_v[:, seq]                        # [B, thres]
     cond = (occ[None, :] > c_at_seq) & (c_at_seq >= 0)

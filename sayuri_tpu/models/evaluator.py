@@ -26,6 +26,17 @@ from sayuri_tpu.models.encoder import encode
 from sayuri_tpu.models.network import SayuriNet
 
 
+def suppress_pass(priors, legal, size, factor):
+    """Zero the pass prior while more than (1 - factor) * size^2 legal
+    board moves remain (Node::ExpandChildren, node.cc:253-263), then
+    renormalize — in the early game pass is never a useful candidate."""
+    n_legal = jnp.sum(legal[:, :-1], axis=-1).astype(jnp.float32)
+    thresh = (1.0 - factor) * (size * size).astype(jnp.float32)
+    keep_pass = ~(n_legal > thresh)
+    pri = priors.at[:, -1].multiply(keep_pass.astype(priors.dtype))
+    return pri / jnp.maximum(jnp.sum(pri, axis=-1, keepdims=True), 1e-12)
+
+
 def make_eval_fn(
     env: GoEnv,
     net: SayuriNet,
@@ -35,6 +46,9 @@ def make_eval_fn(
     ladder_mode: str = "root",
     sym_seed: int = 0,
     gammas=None,
+    policy_head: str = "prob",
+    suppress_pass_factor: float = 0.1667,
+    use_stm_winrate: bool = False,
 ):
     """Build eval_fn(states [B], ctx) -> NetEvals. `variables` holds
     {'params', 'batch_stats'}.
@@ -42,6 +56,19 @@ def make_eval_fn(
     `gammas`: optional (DeviceGammas, factor) — mixes the pattern-gammas
     policy into the priors at EVERY evaluation, the reference's
     per-expansion mixing (node.cc:151-160); see pattern/gammas_jax.py.
+
+    `policy_head`: which policy output feeds the search priors ("prob" or
+    "optimistic_prob"; --use-optimistic-policy evaluates NON-root nodes
+    with the optimistic head, node.cc:130-143 — pair a "prob" root
+    evaluator with an optimistic leaf evaluator via MCTS(root_eval_fn=)).
+
+    `suppress_pass_factor`: drop pass from the expansion candidates while
+    more than (1 - factor) * size^2 legal board moves remain
+    (node.cc:253-263; reference default 0.1667). 0 disables.
+
+    `use_stm_winrate`: value from the net's stm-winrate head
+    ((tanh+1)/2, network.cc:399) instead of (wdl_w - wdl_l + 1)/2
+    (node.cc:319-325).
 
     `symmetry`:
     - int in [0, 8): a fixed symmetry index (0 = identity, Network::kDirect)
@@ -127,27 +154,39 @@ def make_eval_fn(
             legal = jax.vmap(env.legal_action_mask)(states)
 
         def finish(evals: NetEvals) -> NetEvals:
-            """Per-expansion gammas mixing (node.cc:151-160), applied to
-            the final (possibly symmetry-ensembled) outputs — the
-            reference also mixes after GetOutput returns."""
-            if gammas is None:
-                return evals
-            from sayuri_tpu.pattern import gammas_jax as GJ
+            """Per-expansion post-processing in the reference's order:
+            gammas mixing (node.cc:151-160) THEN pass suppression at
+            candidate-list build time (node.cc:253-263)."""
+            if gammas is not None:
+                from sayuri_tpu.pattern import gammas_jax as GJ
 
-            dev, factor = gammas
-            libs = analysis["libs"] if analysis is not None else None
-            return GJ.apply_to_evals(
-                dev, factor, states, evals, legal, libs=libs
-            )
+                dev, factor = gammas
+                libs = analysis["libs"] if analysis is not None else None
+                evals = GJ.apply_to_evals(
+                    dev, factor, states, evals, legal, libs=libs
+                )
+            if suppress_pass_factor > 0.0:
+                evals = evals._replace(
+                    priors=suppress_pass(
+                        evals.priors, legal, states.size,
+                        suppress_pass_factor,
+                    )
+                )
+            return evals
 
-        def postprocess(prob, wdl_logits, stm_score, ownership):
-            """(prob logits, wdl logits, stm score, ownership) -> NetEvals
-            (output mapping of blas_forward_pipe.cc:566-620)."""
+        def postprocess(prob, wdl_logits, stm_score, ownership, stm_q=None):
+            """(prob logits, wdl logits, stm score, ownership, stm q) ->
+            NetEvals (output mapping of blas_forward_pipe.cc:566-620)."""
             logits = jnp.where(legal, prob / policy_temp, -jnp.inf)
             priors = jax.nn.softmax(logits, axis=-1)
             priors = jnp.where(legal, priors, 0.0)
             wdl = jax.nn.softmax(wdl_logits, axis=-1)
-            stm_wl = (wdl[:, 0] - wdl[:, 2] + 1.0) / 2.0
+            if use_stm_winrate and stm_q is not None:
+                # q_vals[0] is already tanh'd; (x + 1) / 2 maps to a
+                # winrate (network.cc:399, node.cc:319-325)
+                stm_wl = (stm_q + 1.0) / 2.0
+            else:
+                stm_wl = (wdl[:, 0] - wdl[:, 2] + 1.0) / 2.0
             is_black = states.to_move == 0
             black_wl = jnp.where(is_black, stm_wl, 1.0 - stm_wl)
             black_score = jnp.where(is_black, stm_score, -stm_score)
@@ -171,10 +210,11 @@ def make_eval_fn(
                     variables, S.transform_planes(planes, s), train=False
                 )
                 ev = postprocess(
-                    S.inverse_transform_policy(out["prob"], s, n),
+                    S.inverse_transform_policy(out[policy_head], s, n),
                     out["wdl"],
                     out["scores"][:, 0],
                     S.inverse_transform_policy(out["ownership"], s, n),
+                    out["q_vals"][:, 0],
                 )
                 acc = ev if acc is None else jax.tree.map(
                     lambda a, b: a + b, acc, ev
@@ -195,28 +235,31 @@ def make_eval_fn(
             planes = S.transform_planes_batch(planes, syms)
             out = net.apply(variables, planes, train=False)
             return finish(postprocess(
-                S.inverse_transform_policy_batch(out["prob"], syms, n),
+                S.inverse_transform_policy_batch(out[policy_head], syms, n),
                 out["wdl"],
                 out["scores"][:, 0],
                 S.inverse_transform_policy_batch(out["ownership"], syms, n),
+                out["q_vals"][:, 0],
             ))
 
         if symmetry:
             planes = S.transform_planes(planes, symmetry)
         out = net.apply(variables, planes, train=False)
-        prob = out["prob"]
+        prob = out[policy_head]
         ownership = out["ownership"]
         if symmetry:
             prob = S.inverse_transform_policy(prob, symmetry, n)
             ownership = S.inverse_transform_policy(ownership, symmetry, n)
         return finish(
-            postprocess(prob, out["wdl"], out["scores"][:, 0], ownership)
+            postprocess(prob, out["wdl"], out["scores"][:, 0], ownership,
+                        out["q_vals"][:, 0])
         )
 
     return eval_fn
 
 
-def make_dummy_eval_fn(env: GoEnv, rng_seed: int = 0):
+def make_dummy_eval_fn(env: GoEnv, rng_seed: int = 0,
+                       suppress_pass_factor: float = 0.0):
     """Random-output evaluator for weightless runs (DummyForward,
     network.cc:144-165): uniform-ish random legal priors, ~0.5 value."""
 
@@ -234,6 +277,10 @@ def make_dummy_eval_fn(env: GoEnv, rng_seed: int = 0):
         priors = priors / jnp.maximum(
             jnp.sum(priors, axis=-1, keepdims=True), 1e-9
         )
+        if suppress_pass_factor > 0.0:
+            priors = suppress_pass(
+                priors, legal, states.size, suppress_pass_factor
+            )
         return NetEvals(
             priors=priors,
             black_wl=jnp.full((b,), 0.5),

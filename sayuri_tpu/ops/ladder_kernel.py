@@ -265,11 +265,23 @@ def _place_stone(roll, bit, mover_stones, other_stones, empty, colmask, n):
 # along the frame axis (O(1) in MAX_FORKS — used on the XLA/CPU path).
 
 
+def _bsel(c, a, b):
+    """Boolean select (c ? a : b) for i1 vectors. jnp.where on boolean
+    operands lowers to an i8->i1 arith.trunci that Mosaic rejects
+    ("Unsupported target bitwidth for truncation"); masked OR is native."""
+    return (c & a) | (~c & b)
+
+
 def _stack_read_scan(st, sp_idx, f_iota):
-    """Where-scan read of stack level `sp_idx` ([1, C]) from st [F, ...]."""
+    """Where-scan read of stack level `sp_idx` ([1, C]) from st [F, ...].
+
+    `sel` is one-hot along F, so a sum IS the select. Mosaic has no
+    unsigned reductions, so uint32 rides through int32 (same-width int
+    converts are modular, i.e. bit-exact both ways)."""
     sel = f_iota == sp_idx[None]
     if st.dtype == jnp.uint32:
-        return jnp.max(jnp.where(sel, st, jnp.uint32(0)), axis=0)
+        picked = jnp.where(sel, st.astype(jnp.int32), 0)
+        return jnp.sum(picked, axis=0).astype(jnp.uint32)
     return jnp.sum(jnp.where(sel, st, 0), axis=0)
 
 
@@ -463,15 +475,16 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
             (p2 > 0) | q2["opp_safe"] | q2["own_atari"]
         )
         both_open = ~adjacent_libs & (p1 >= 3) & (p2 >= 3)
-        h_ok1 = jnp.where(
-            adjacent_libs,
-            l1 < BIGI,
-            legal1 & (p2 < 3),               # p1>=3 forces m1; p2>=3 skips m1
+        # boolean algebra, not jnp.where: a select over i1 vectors lowers
+        # to an i8->i1 arith.trunci that Mosaic cannot compile
+        h_ok1 = (
+            (adjacent_libs & (l1 < BIGI))
+            # p1>=3 forces m1; p2>=3 skips m1
+            | (~adjacent_libs & legal1 & (p2 < 3))
         ) & ~both_open
-        h_ok2 = jnp.where(
-            adjacent_libs,
-            l2 < BIGI,
-            legal2 & (p1 < 3),
+        h_ok2 = (
+            (adjacent_libs & (l2 < BIGI))
+            | (~adjacent_libs & legal2 & (p1 < 3))
         ) & ~both_open
         kh = h_ok1.astype(jnp.int32) + h_ok2.astype(jnp.int32)
         hunter_term = jnp.where(
@@ -487,8 +500,8 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         # ---- merge by selector side ----
         term = jnp.where(selector_prey, prey_term, hunter_term)
         ok = [
-            jnp.where(selector_prey, sel_ok[i], h_ok1 if i == 0 else
-                      (h_ok2 if i == 1 else false_b))
+            _bsel(selector_prey, sel_ok[i], h_ok1 if i == 0 else
+                  (h_ok2 if i == 1 else false_b))
             for i in range(5)
         ]
         vals = [
@@ -533,7 +546,7 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         d_mode = jnp.where(is_term, RETURN, DESCEND)
         d_ret = jnp.where(is_term, term, s["ret"])
         d_pend_v = jnp.where(is_term, s["pend_v"], first_v)
-        d_pend_prey = jnp.where(is_term, s["pend_prey"], selector_prey)
+        d_pend_prey = _bsel(is_term, s["pend_prey"], selector_prey)
 
         # ================= RETURN: propagate a subtree result ===========
         sp1 = s["sp"] - 1
@@ -541,7 +554,7 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         top_side_prey = sread(s["st_side"], sp1, f_iota_s) > 0
         top_cnt = sread(s["st_cnt"], sp1, f_iota_s)
         top_idx = sread(s["st_idx"], sp1, f_iota_s)
-        decided = jnp.where(
+        decided = _bsel(
             top_side_prey, s["ret"] == PREY_GOOD, s["ret"] == HUNTER_GOOD
         )
         pop = decided | (top_idx >= top_cnt)
@@ -583,9 +596,14 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         out["ko"] = pick(ko1, jnp.where(resume, r_ko, s["ko"]), s["ko"])
         out["pend_v"] = pick(d_pend_v, jnp.where(resume, r_alt,
                                                  s["pend_v"]), s["pend_v"])
-        out["pend_prey"] = pick(
-            d_pend_prey, jnp.where(resume, top_side_prey, s["pend_prey"]),
-            s["pend_prey"],
+        out["pend_prey"] = _bsel(
+            descend,
+            d_pend_prey,
+            _bsel(
+                returning,
+                _bsel(resume, top_side_prey, s["pend_prey"]),
+                s["pend_prey"],
+            ),
         )
         out["mode"] = pick(d_mode, r_mode, s["mode"])
         out["ret"] = pick(d_ret, s["ret"], s["ret"])

@@ -53,7 +53,17 @@ class SelfplayConfig:
     random_moves_factor: float = 0.0
     random_moves_temp: float = 1.0
     random_fastsearch_prob: float = 0.0
+    # low-visit pruning of the proportional random move ("On Strength
+    # Adjustment for MCTS-Based Programs"; GetRandomMoveProportionally,
+    # node.cc:578-609): keep children with
+    # visits > max(round(max_visits * min_ratio), min_visits)
+    random_min_ratio: float = 0.0
+    random_min_visits: int = 1
     max_moves_factor: float = 1.8  # game length cap, in units of n*n
+    # random opening sampling (engine.cc:245-284, config.cc:97-98);
+    # prob < 0 = legacy auto (0.75 when random_moves_factor > 0)
+    random_opening_prob: float = -1.0
+    random_opening_temp: float = 1.2
     komi_stddev: float = 0.0
     komi_big_stddev: float = 0.0
     komi_big_stddev_prob: float = 0.0
@@ -319,12 +329,27 @@ class SelfplayActor:
         move = jnp.where(use_gumbel, gmove, best)
 
         # random opening / fast-search moves ~ visits^(1/temp)
-        # (GetRandomMoveProportionally, search.cc:1026-1035)
+        # (GetRandomMoveProportionally, node.cc:578-629), with low-visit
+        # pruning: visits > max(round(max_visits*min_ratio), min_visits)
         visits = mcts.root_child_visits(tree).astype(jnp.float32)
+        min_v = jnp.maximum(
+            jnp.round(
+                jnp.max(visits, axis=-1, keepdims=True)
+                * cfg.random_min_ratio
+            ),
+            float(cfg.random_min_visits),
+        )
         logw = jnp.where(
-            visits > 0, jnp.log(visits) / max(cfg.random_moves_temp, 1e-4),
+            visits > min_v,
+            jnp.log(jnp.maximum(visits, 1e-9))
+            / max(cfg.random_moves_temp, 1e-4),
             -jnp.inf,
         )
+        # if pruning empties the candidate set, fall back to the best move
+        # (node.cc:611-613) by keeping the max-visit child
+        none_left = ~jnp.any(jnp.isfinite(logw), axis=-1, keepdims=True)
+        is_top = visits >= jnp.max(visits, axis=-1, keepdims=True)
+        logw = jnp.where(none_left & is_top & (visits > 0), 0.0, logw)
         pass_a = env.num_actions - 1
         logw = jnp.where(
             forbid_pass[:, None]

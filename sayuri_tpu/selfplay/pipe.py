@@ -74,8 +74,13 @@ class SelfPlayPipe:
                 self.sp_cfg.random_moves_factor, 0.0
             ),
             random_opening_prob=(
-                0.0 if self.sp_cfg.random_moves_factor <= 0 else 0.75
+                self.sp_cfg.random_opening_prob
+                if self.sp_cfg.random_opening_prob >= 0
+                else (
+                    0.0 if self.sp_cfg.random_moves_factor <= 0 else 0.75
+                )
             ),
+            random_opening_temp=self.sp_cfg.random_opening_temp,
         )
         # the board buffer covers the largest queried size (Engine adjusts
         # the NN size to max_bsize, engine.cc:180-183)
