@@ -34,6 +34,8 @@ def run_gtp(opts: Options):
         use_optimistic_policy=opts.get("use_optimistic_policy"),
         timemanage=opts.get("timemanage"),
         symm_pruning=opts.get("symm_pruning"),
+        friendly_pass=opts.get("friendly_pass"),
+        capture_all_dead=opts.get("capture_all_dead"),
     )
     wf = opts.get("weights_file")
     if wf:

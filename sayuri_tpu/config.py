@@ -38,6 +38,9 @@ OPTIONS: dict[str, Opt] = {
     "analysis_verbose": Opt(False),
     "reuse_tree": Opt(True),
     "ponder": Opt(False),
+    # end-of-game etiquette (config.cc:92-93)
+    "friendly_pass": Opt(False),
+    "capture_all_dead": Opt(False),
     # ponder_playouts = playouts * ponder_factor (GetPonderPlayouts,
     # search.cc:1551-1560)
     "ponder_factor": Opt(100, 1, 100000),
@@ -75,6 +78,8 @@ OPTIONS: dict[str, Opt] = {
     "cpuct_base": Opt(19652.0),
     "cpuct_base_factor": Opt(1.0),
     "cpuct_dynamic": Opt(True),
+    "cpuct_dynamic_k_factor": Opt(4.0),
+    "cpuct_dynamic_k_base": Opt(10000.0),
     "fpu_reduction": Opt(0.25),
     "root_fpu_reduction": Opt(0.25),
     "score_utility_factor": Opt(0.1),
@@ -266,6 +271,8 @@ class Options:
             cpuct_base=g("cpuct_base"),
             cpuct_base_factor=g("cpuct_base_factor"),
             cpuct_dynamic=g("cpuct_dynamic"),
+            cpuct_dynamic_k_factor=g("cpuct_dynamic_k_factor"),
+            cpuct_dynamic_k_base=g("cpuct_dynamic_k_base"),
             fpu_reduction=g("fpu_reduction"),
             root_fpu_reduction=g("root_fpu_reduction"),
             score_utility_factor=g("score_utility_factor"),

@@ -342,7 +342,10 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         own=own0, opp=opp0, prey=prey0,
         ko=ko0,
         pend_v=fh_v,                       # move to apply next (or -1)
-        pend_prey=false_b,                 # pending mover is the prey?
+        # pending mover is the prey? carried as int32 0/1: an i1 vector in
+        # the while carry hits a Mosaic scf.yield layout-legalization
+        # failure (vpad "none" on the i1 operand)
+        pend_prey=zero_i,
         mode=zero_i + DESCEND,
         ret=zero_i,
         result=jnp.where(valid > 0, UNDECIDED, PREY_GOOD).astype(jnp.int32),
@@ -358,6 +361,7 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
 
     def body(state_tuple):
         s = dict(zip(keys, state_tuple))
+        pend_prey = s["pend_prey"] > 0
         active = s["result"] == UNDECIDED
         descend = active & (s["mode"] == DESCEND)
         returning = active & (s["mode"] == RETURN)
@@ -369,22 +373,22 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         has_move = s["pend_v"] >= 0
         mbit = _vertex_bit(s["pend_v"], shape, n)
         empty = full & ~s["own"] & ~s["opp"]
-        mover = jnp.where(s["pend_prey"], s["own"], s["opp"])
-        other = jnp.where(s["pend_prey"], s["opp"], s["own"])
+        mover = jnp.where(pend_prey, s["own"], s["opp"])
+        other = jnp.where(pend_prey, s["opp"], s["own"])
         mover2, other2, ko_new = _place_stone(
             roll, mbit, mover, other, empty, colmask, n
         )
         own1 = jnp.where(
-            has_move, jnp.where(s["pend_prey"], mover2, other2), s["own"]
+            has_move, jnp.where(pend_prey, mover2, other2), s["own"]
         )
         opp1 = jnp.where(
-            has_move, jnp.where(s["pend_prey"], other2, mover2), s["opp"]
+            has_move, jnp.where(pend_prey, other2, mover2), s["opp"]
         )
         ko1 = jnp.where(has_move, ko_new, s["ko"])
         prey1 = _flood_conv(roll, s["prey"] & own1, own1, colmask)
         empty1 = full & ~own1 & ~opp1
 
-        selector_prey = ~s["pend_prey"]    # prey selects after hunter move
+        selector_prey = ~pend_prey         # prey selects after hunter move
         think_ko = has_move & selector_prey
 
         prey_libs = _nbr(roll, prey1, colmask) & empty1
@@ -546,7 +550,7 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         d_mode = jnp.where(is_term, RETURN, DESCEND)
         d_ret = jnp.where(is_term, term, s["ret"])
         d_pend_v = jnp.where(is_term, s["pend_v"], first_v)
-        d_pend_prey = _bsel(is_term, s["pend_prey"], selector_prey)
+        d_pend_prey = _bsel(is_term, pend_prey, selector_prey)
 
         # ================= RETURN: propagate a subtree result ===========
         sp1 = s["sp"] - 1
@@ -601,10 +605,10 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
             d_pend_prey,
             _bsel(
                 returning,
-                _bsel(resume, top_side_prey, s["pend_prey"]),
-                s["pend_prey"],
+                _bsel(resume, top_side_prey, pend_prey),
+                pend_prey,
             ),
-        )
+        ).astype(jnp.int32)
         out["mode"] = pick(d_mode, r_mode, s["mode"])
         out["ret"] = pick(d_ret, s["ret"], s["ret"])
         out["nodes"] = pick(nodes1, s["nodes"], s["nodes"])
