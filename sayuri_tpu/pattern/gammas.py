@@ -55,11 +55,13 @@ class GammasDict:
         evaluates every intersection; illegal points only ever receive
         negligible mass through the softmax)."""
         out = np.zeros(size * size + 1)
+        libs = P.chain_liberty_counts(board, size)
         for v in range(size * size):
             if not legal_mask[v]:
                 continue
             feats = [P.pattern_key(board, size, v, to_move, self.dist)]
-            feats += P.tactical_features(board, size, v, to_move, last_move)
+            feats += P.tactical_features(board, size, v, to_move, last_move,
+                                         libs=libs)
             g = self.team_strength(feats)
             if ownership is not None:
                 owner = (float(ownership[v]) + 1.0) / 2.0
@@ -116,10 +118,12 @@ def train_from_sgfs(sgf_paths, dist: int = 3, max_games: int | None = None,
                 if vertex in cands and len(cands) > 1:
                     teams = []
                     widx = None
+                    libs = P.chain_liberty_counts(board, size)
                     for i, v in enumerate(cands):
                         feats = [
                             P.pattern_key(board, size, v, color, dist)
-                        ] + P.tactical_features(board, size, v, color, last)
+                        ] + P.tactical_features(board, size, v, color, last,
+                                                libs=libs)
                         teams.append(tuple(str(f) for f in feats))
                         if v == vertex:
                             widx = i

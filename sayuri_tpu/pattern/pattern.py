@@ -62,14 +62,46 @@ def pattern_key(board: np.ndarray, size: int, vertex: int, to_move: int,
     return (best << 4) | dist
 
 
+def chain_liberty_counts(board: np.ndarray, size: int):
+    """[2, size, size] int: liberty count of the chain occupying each
+    stone (index 0 = black chains, 1 = white). One BFS pass per board —
+    the per-board precompute for `tactical_features` (the reference keeps
+    the same data live on its pattern board, pattern_board.cc)."""
+    libs = np.zeros((2, size, size), np.int32)
+    seen = np.zeros((size, size), bool)
+    b = np.asarray(board)[:size, :size]
+    for y in range(size):
+        for x in range(size):
+            v = int(b[y, x])
+            if v == 0 or seen[y, x]:
+                continue
+            stack = [(y, x)]
+            seen[y, x] = True
+            chain = []
+            libset = set()
+            while stack:
+                cy, cx = stack.pop()
+                chain.append((cy, cx))
+                for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    ny, nx = cy + dy, cx + dx
+                    if 0 <= ny < size and 0 <= nx < size:
+                        if int(b[ny, nx]) == v and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                        elif int(b[ny, nx]) == 0:
+                            libset.add((ny, nx))
+            for cy, cx in chain:
+                libs[v - 1, cy, cx] = len(libset)
+    return libs
+
+
 def tactical_features(board: np.ndarray, size: int, vertex: int,
-                      to_move: int, last_move: int | None):
+                      to_move: int, last_move: int | None,
+                      libs: np.ndarray | None = None):
     """Small tactical feature set (capture/atari/self-atari/proximity),
     the reference's board feature hashes (board.h:226-233) reduced to the
-    load-bearing ones. Returns a list of string feature ids."""
-    from sayuri_tpu.game import board as B_
-    import jax.numpy as jnp
-
+    load-bearing ones. Returns a list of string feature ids. Pass `libs`
+    from `chain_liberty_counts` when scoring many vertices of one board."""
     feats = []
     y0, x0 = divmod(vertex, size)
     if last_move is not None and last_move >= 0:
@@ -77,18 +109,14 @@ def tactical_features(board: np.ndarray, size: int, vertex: int,
         d = abs(ly - y0) + abs(lx - x0)
         if d <= 4:
             feats.append(f"dist_last:{d}")
-    # liberties of adjacent chains via the jax helpers (small boards: fine)
-    stones = jnp.asarray(board)
-    empty = (stones == 0)
+    if libs is None:
+        libs = chain_liberty_counts(board, size)
+    b = np.asarray(board)
     for color, tag in ((to_move, "own"), (1 - to_move, "opp")):
-        mask = stones == color + 1
-        lbl = B_.chain_labels(mask)
-        libs = B_.chain_liberty_map(mask, lbl, empty)
-        libs = np.asarray(libs)
         for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
             yy, xx = y0 + dy, x0 + dx
-            if 0 <= yy < size and 0 <= xx < size and np.asarray(mask)[yy, xx]:
-                l = int(libs[yy, xx])
+            if 0 <= yy < size and 0 <= xx < size and b[yy, xx] == color + 1:
+                l = int(libs[color, yy, xx])
                 if l == 1:
                     feats.append(f"{tag}_atari_adjacent")
                 elif l == 2:

@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--a", action="append", help="SearchConfig k=v for A")
     ap.add_argument("--b", action="append", help="SearchConfig k=v for B")
+    ap.add_argument("--eval-a", action="append",
+                    help="make_eval_fn k=v override for A (e.g. "
+                         "ladder_mode=full, symmetry=0)")
+    ap.add_argument("--eval-b", action="append",
+                    help="make_eval_fn k=v override for B")
     ap.add_argument("--label-a", default="A")
     ap.add_argument("--label-b", default="B")
     args = ap.parse_args()
@@ -69,6 +74,24 @@ def main():
     from sayuri_tpu.mcts.core import MCTS, SearchConfig
     from sayuri_tpu.models.evaluator import make_dummy_eval_fn, make_eval_fn
 
+    def parse_eval_overrides(pairs):
+        out = {}
+        for p in pairs or []:
+            k, v = p.split("=", 1)
+            if k == "symmetry" and v not in ("random", "average"):
+                out[k] = int(v)
+            elif v.lower() in ("true", "false"):
+                out[k] = v.lower() == "true"
+            else:
+                try:
+                    out[k] = float(v) if "." in v else v
+                except ValueError:
+                    out[k] = v
+        return out
+
+    ev_a = parse_eval_overrides(args.eval_a)
+    ev_b = parse_eval_overrides(args.eval_b)
+
     env = GoEnv(n=args.boardsize)
     if args.weights:
         from sayuri_tpu.models import weights_io
@@ -80,11 +103,20 @@ def main():
         net_cfg = NetConfig(
             **{**net_cfg.__dict__, "boardsize": args.boardsize}
         )
-        eval_fn = make_eval_fn(
-            env, SayuriNet(net_cfg), variables, symmetry="random"
-        )
+
+        def build_eval(over):
+            return make_eval_fn(
+                env, SayuriNet(net_cfg), variables,
+                **{"symmetry": "random", **over},
+            )
+
+        eval_a = build_eval(ev_a)
+        eval_b = build_eval(ev_b) if ev_b != ev_a else eval_a
     else:
-        eval_fn = make_dummy_eval_fn(env)
+        eval_a = eval_b = make_dummy_eval_fn(env)
+        if ev_a or ev_b:
+            print("note: --eval-a/--eval-b ignored without --weights",
+                  file=sys.stderr)
 
     base = dict(
         max_nodes=args.playouts + 16,
@@ -94,8 +126,8 @@ def main():
     )
     cfg_a = SearchConfig(**{**base, **parse_overrides(args.a)})
     cfg_b = SearchConfig(**{**base, **parse_overrides(args.b)})
-    mcts_a = MCTS(env, eval_fn, cfg_a)
-    mcts_b = MCTS(env, eval_fn, cfg_b)
+    mcts_a = MCTS(env, eval_a, cfg_a)
+    mcts_b = MCTS(env, eval_b, cfg_b)
 
     B = args.games
     half = B // 2
@@ -151,8 +183,8 @@ def main():
             {
                 "a": args.label_a,
                 "b": args.label_b,
-                "overrides_a": parse_overrides(args.a),
-                "overrides_b": parse_overrides(args.b),
+                "overrides_a": {**parse_overrides(args.a), **ev_a},
+                "overrides_b": {**parse_overrides(args.b), **ev_b},
                 "games": B,
                 "moves_played": mv + 1,
                 "a_wins": wins,
