@@ -213,12 +213,25 @@ def ladder_planes_batch(stones, size, ko=None, use_kernel=None):
     # work are few (invalid lanes converge in one iteration anyway)
     perm = jnp.argsort(ok_l == 0, stable=True)
     inv = jnp.argsort(perm)
+    permuted = [
+        x[perm]
+        for x in (own2, opp2, size_l, ko_l, prey_l, fh_l, ok_l)
+    ]
 
+    # two-phase exact search: a stack-free greedy pass resolves every
+    # chain-shaped (fork-free) chase — the common case — and flags the
+    # lanes that hit a multi-selection point; only those re-run under the
+    # fork-stack DFS, compacted to the front so idle chunks exit at once
+    g_runner = LK.run_greedy if use_kernel else LK.run_greedy_xla
     runner = LK.run_chases if use_kernel else LK.run_chases_xla
-    res = runner(
-        own2[perm], opp2[perm], size_l[perm], ko_l[perm], prey_l[perm],
-        fh_l[perm], ok_l[perm], n
-    )[inv].reshape(b, M, 2)
+    res_g, forked = g_runner(*permuted, n)
+    fv = (forked > 0) & (permuted[6] > 0)
+    perm2 = jnp.argsort(~fv, stable=True)
+    inv2 = jnp.argsort(perm2)
+    res_d = runner(
+        *[x[perm2] for x in permuted[:6]], fv[perm2].astype(jnp.int32), n
+    )[inv2]
+    res = jnp.where(fv, res_d, res_g)[inv].reshape(b, M, 2)
 
     died = (nlibs == 1) & valid & (res[..., 0] == HUNTER_GOOD)
     vital_a = (nlibs == 2) & ok0 & (res[..., 0] == HUNTER_GOOD)

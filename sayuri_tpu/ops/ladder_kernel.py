@@ -306,6 +306,175 @@ def _stack_write_gather(st, sp_idx, f_iota, value, do_write):
     return jnp.put_along_axis(st, idxb, new[None], axis=0, inplace=False)
 
 
+def _step_select(roll, n, shape, colmask, full, prey_bit,
+                 s_own, s_opp, s_prey, s_ko, pend_v, pend_prey):
+    """One ply of the hunter/prey machine, shared by the DFS and greedy
+    passes: apply the pending move, then compute the NEXT side's
+    selections and terminal test (PreySelections board.cc:519-573,
+    HunterSelections board.cc:575-644). Returns a dict with the updated
+    boards and the selection slots."""
+    zero_i = jnp.zeros(s_ko.shape, jnp.int32)
+    false_b = zero_i > 0
+
+    has_move = pend_v >= 0
+    mbit = _vertex_bit(pend_v, shape, n)
+    empty = full & ~s_own & ~s_opp
+    mover = jnp.where(pend_prey, s_own, s_opp)
+    other = jnp.where(pend_prey, s_opp, s_own)
+    mover2, other2, ko_new = _place_stone(
+        roll, mbit, mover, other, empty, colmask, n
+    )
+    own1 = jnp.where(has_move, jnp.where(pend_prey, mover2, other2), s_own)
+    opp1 = jnp.where(has_move, jnp.where(pend_prey, other2, mover2), s_opp)
+    ko1 = jnp.where(has_move, ko_new, s_ko)
+    prey1 = _flood_conv(roll, s_prey & own1, own1, colmask)
+    empty1 = full & ~own1 & ~opp1
+
+    selector_prey = ~pend_prey         # prey selects after hunter move
+    think_ko = has_move & selector_prey
+
+    prey_libs = _nbr(roll, prey1, colmask) & empty1
+    nlibs = _popcount(prey_libs)
+    l1 = _lowest_vertex(prey_libs, n)
+    l1bit = _vertex_bit(l1, shape, n)
+    l2 = _lowest_vertex(prey_libs & ~l1bit, n)
+    l2bit = _vertex_bit(l2, shape, n)
+
+    q1 = _chain_queries(roll, l1bit, own1, opp1, empty1, colmask)
+    q2 = _chain_queries(roll, l2bit, own1, opp1, empty1, colmask)
+    p1 = _popcount(_nbr(roll, l1bit, colmask) & empty1)
+    p2 = _popcount(_nbr(roll, l2bit, colmask) & empty1)
+
+    # ---- PreySelections (board.cc:519-573) ----
+    escape_legal = (
+        (nlibs == 1)
+        & (l1 != ko1)
+        & ((p1 > 0) | q1["own_safe"] | (q1["ncaps"] > 0))
+    )
+    # capture-gaining moves: peel <=4 hunter chains in atari adjacent
+    # to the prey (FindStringLibertiesGainingCaptures, board.cc:451-479).
+    # Pre-filter: a chain containing a stone with >=2 empty neighbors
+    # has >=2 liberties and cannot be in atari, so one flood from all
+    # such stones removes nearly every safe chain — the 4 peel slots
+    # then go to genuine atari candidates (a merged prey group can
+    # border many hunter chains; without the filter the lowest-vertex
+    # peel order wastes slots on safe chains).
+    eE = (empty1 << 1) & colmask
+    eW = empty1 >> 1
+    eS = roll(empty1, 1)
+    eN = roll(empty1, ROWS - 1)
+    two_empty = (
+        (eE & eW) | (eE & eS) | (eE & eN)
+        | (eW & eS) | (eW & eN) | (eS & eN)
+    )
+    not_atari = _flood_conv(roll, two_empty & opp1, opp1, colmask)
+    A = _nbr(roll, prey1, colmask) & opp1 & ~not_atari
+    cap_vs = []
+    for _ in range(4):
+        v0 = _lowest_vertex(A, n)
+        sbit = _vertex_bit(v0, shape, n)
+        ch = _flood_conv(roll, sbit, opp1, colmask)
+        libs_mask = _nbr(roll, ch, colmask) & empty1
+        is_atari = (v0 < BIGI) & (_popcount(libs_mask) == 1)
+        cap_vs.append(
+            jnp.where(is_atari, _lowest_vertex(libs_mask, n), BIGI)
+        )
+        A = A & ~ch
+    # selection slots: escape first, then deduped legal captures
+    sel_v = [jnp.where(escape_legal, l1, BIGI)]
+    sel_ok = [escape_legal]
+    for i, cv in enumerate(cap_vs):
+        dup = cv == l1
+        for prev in cap_vs[:i]:
+            dup = dup | (cv == prev)
+        ok_c = (cv < BIGI) & (cv != ko1) & ~dup
+        sel_v.append(cv)
+        sel_ok.append(ok_c)
+    kp = sum(o.astype(jnp.int32) for o in sel_ok)
+
+    lower = q1["ncaps"] + jnp.maximum(p1, q1["maxconn"])
+    upper = p1 + q1["potential"] + q1["conn"]
+    prey_term = jnp.where(
+        (nlibs >= 2) | (think_ko & (ko1 >= 0)),
+        PREY_GOOD,
+        jnp.where(
+            kp == 0,
+            HUNTER_GOOD,
+            jnp.where(
+                escape_legal & (lower >= 3),
+                PREY_GOOD,
+                jnp.where(
+                    escape_legal & (kp == 1) & (upper == 1),
+                    HUNTER_GOOD,
+                    UNDECIDED,
+                ),
+            ),
+        ),
+    )
+
+    # ---- HunterSelections (board.cc:575-644) ----
+    adjacent_libs = _popcount(_nbr(roll, l1bit, colmask) & l2bit) > 0
+    legal1 = (l1 < BIGI) & (l1 != ko1) & (
+        (p1 > 0) | q1["opp_safe"] | q1["own_atari"]
+    )
+    legal2 = (l2 < BIGI) & (l2 != ko1) & (
+        (p2 > 0) | q2["opp_safe"] | q2["own_atari"]
+    )
+    both_open = ~adjacent_libs & (p1 >= 3) & (p2 >= 3)
+    # boolean algebra, not jnp.where: a select over i1 vectors lowers
+    # to an i8->i1 arith.trunci that Mosaic cannot compile
+    h_ok1 = (
+        (adjacent_libs & (l1 < BIGI))
+        # p1>=3 forces m1; p2>=3 skips m1
+        | (~adjacent_libs & legal1 & (p2 < 3))
+    ) & ~both_open
+    h_ok2 = (
+        (adjacent_libs & (l2 < BIGI))
+        | (~adjacent_libs & legal2 & (p1 < 3))
+    ) & ~both_open
+    kh = h_ok1.astype(jnp.int32) + h_ok2.astype(jnp.int32)
+    hunter_term = jnp.where(
+        nlibs >= 3,
+        PREY_GOOD,
+        jnp.where(
+            nlibs <= 1,
+            HUNTER_GOOD,
+            jnp.where(both_open | (kh == 0), PREY_GOOD, UNDECIDED),
+        ),
+    )
+
+    # ---- merge by selector side ----
+    term = jnp.where(selector_prey, prey_term, hunter_term)
+    ok = [
+        _bsel(selector_prey, sel_ok[i], h_ok1 if i == 0 else
+              (h_ok2 if i == 1 else false_b))
+        for i in range(5)
+    ]
+    vals = [
+        jnp.where(selector_prey, sel_v[i], l1 if i == 0 else
+                  (l2 if i == 1 else zero_i))
+        for i in range(5)
+    ]
+    k = sum(o.astype(jnp.int32) for o in ok)
+    # first valid slot + compact the rest into alt slots 0..3
+    first_v = jnp.full_like(zero_i, -1)
+    rank = zero_i
+    alts = [jnp.full_like(zero_i, -1) for _ in range(MAX_ALTS)]
+    for i in range(5):
+        is_first = ok[i] & (rank == 0)
+        first_v = jnp.where(is_first, vals[i], first_v)
+        for a in range(MAX_ALTS):
+            hit = ok[i] & (rank == a + 1)
+            alts[a] = jnp.where(hit, vals[i], alts[a])
+        rank = rank + ok[i].astype(jnp.int32)
+
+    return dict(
+        own1=own1, opp1=opp1, prey1=prey1, ko1=ko1,
+        selector_prey=selector_prey, term=term,
+        is_term=term != UNDECIDED, first_v=first_v, k=k, alts=alts,
+    )
+
+
 def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
                  gather_stacks=False):
     """Builds the DFS state machine: returns (state0 dict, body, cond)
@@ -370,163 +539,14 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         nodes1 = s["nodes"] + 1
         budget_dead = nodes1 >= NODE_CAP
 
-        has_move = s["pend_v"] >= 0
-        mbit = _vertex_bit(s["pend_v"], shape, n)
-        empty = full & ~s["own"] & ~s["opp"]
-        mover = jnp.where(pend_prey, s["own"], s["opp"])
-        other = jnp.where(pend_prey, s["opp"], s["own"])
-        mover2, other2, ko_new = _place_stone(
-            roll, mbit, mover, other, empty, colmask, n
-        )
-        own1 = jnp.where(
-            has_move, jnp.where(pend_prey, mover2, other2), s["own"]
-        )
-        opp1 = jnp.where(
-            has_move, jnp.where(pend_prey, other2, mover2), s["opp"]
-        )
-        ko1 = jnp.where(has_move, ko_new, s["ko"])
-        prey1 = _flood_conv(roll, s["prey"] & own1, own1, colmask)
-        empty1 = full & ~own1 & ~opp1
-
-        selector_prey = ~pend_prey         # prey selects after hunter move
-        think_ko = has_move & selector_prey
-
-        prey_libs = _nbr(roll, prey1, colmask) & empty1
-        nlibs = _popcount(prey_libs)
-        l1 = _lowest_vertex(prey_libs, n)
-        l1bit = _vertex_bit(l1, shape, n)
-        l2 = _lowest_vertex(prey_libs & ~l1bit, n)
-        l2bit = _vertex_bit(l2, shape, n)
-
-        q1 = _chain_queries(roll, l1bit, own1, opp1, empty1, colmask)
-        q2 = _chain_queries(roll, l2bit, own1, opp1, empty1, colmask)
-        p1 = _popcount(_nbr(roll, l1bit, colmask) & empty1)
-        p2 = _popcount(_nbr(roll, l2bit, colmask) & empty1)
-
-        # ---- PreySelections (board.cc:519-573) ----
-        escape_legal = (
-            (nlibs == 1)
-            & (l1 != ko1)
-            & ((p1 > 0) | q1["own_safe"] | (q1["ncaps"] > 0))
-        )
-        # capture-gaining moves: peel <=4 hunter chains in atari adjacent
-        # to the prey (FindStringLibertiesGainingCaptures, board.cc:451-479).
-        # Pre-filter: a chain containing a stone with >=2 empty neighbors
-        # has >=2 liberties and cannot be in atari, so one flood from all
-        # such stones removes nearly every safe chain — the 4 peel slots
-        # then go to genuine atari candidates (a merged prey group can
-        # border many hunter chains; without the filter the lowest-vertex
-        # peel order wastes slots on safe chains).
-        eE = (empty1 << 1) & colmask
-        eW = empty1 >> 1
-        eS = roll(empty1, 1)
-        eN = roll(empty1, ROWS - 1)
-        two_empty = (
-            (eE & eW) | (eE & eS) | (eE & eN)
-            | (eW & eS) | (eW & eN) | (eS & eN)
-        )
-        not_atari = _flood_conv(roll, two_empty & opp1, opp1, colmask)
-        A = _nbr(roll, prey1, colmask) & opp1 & ~not_atari
-        cap_vs = []
-        for _ in range(4):
-            v0 = _lowest_vertex(A, n)
-            sbit = _vertex_bit(v0, shape, n)
-            ch = _flood_conv(roll, sbit, opp1, colmask)
-            libs_mask = _nbr(roll, ch, colmask) & empty1
-            is_atari = (v0 < BIGI) & (_popcount(libs_mask) == 1)
-            cap_vs.append(
-                jnp.where(is_atari, _lowest_vertex(libs_mask, n), BIGI)
-            )
-            A = A & ~ch
-        # selection slots: escape first, then deduped legal captures
-        sel_v = [jnp.where(escape_legal, l1, BIGI)]
-        sel_ok = [escape_legal]
-        for i, cv in enumerate(cap_vs):
-            dup = cv == l1
-            for prev in cap_vs[:i]:
-                dup = dup | (cv == prev)
-            ok = (cv < BIGI) & (cv != ko1) & ~dup
-            sel_v.append(cv)
-            sel_ok.append(ok)
-        kp = sum(o.astype(jnp.int32) for o in sel_ok)
-
-        lower = q1["ncaps"] + jnp.maximum(p1, q1["maxconn"])
-        upper = p1 + q1["potential"] + q1["conn"]
-        prey_term = jnp.where(
-            (nlibs >= 2) | (think_ko & (ko1 >= 0)),
-            PREY_GOOD,
-            jnp.where(
-                kp == 0,
-                HUNTER_GOOD,
-                jnp.where(
-                    escape_legal & (lower >= 3),
-                    PREY_GOOD,
-                    jnp.where(
-                        escape_legal & (kp == 1) & (upper == 1),
-                        HUNTER_GOOD,
-                        UNDECIDED,
-                    ),
-                ),
-            ),
-        )
-
-        # ---- HunterSelections (board.cc:575-644) ----
-        adjacent_libs = _popcount(_nbr(roll, l1bit, colmask) & l2bit) > 0
-        legal1 = (l1 < BIGI) & (l1 != ko1) & (
-            (p1 > 0) | q1["opp_safe"] | q1["own_atari"]
-        )
-        legal2 = (l2 < BIGI) & (l2 != ko1) & (
-            (p2 > 0) | q2["opp_safe"] | q2["own_atari"]
-        )
-        both_open = ~adjacent_libs & (p1 >= 3) & (p2 >= 3)
-        # boolean algebra, not jnp.where: a select over i1 vectors lowers
-        # to an i8->i1 arith.trunci that Mosaic cannot compile
-        h_ok1 = (
-            (adjacent_libs & (l1 < BIGI))
-            # p1>=3 forces m1; p2>=3 skips m1
-            | (~adjacent_libs & legal1 & (p2 < 3))
-        ) & ~both_open
-        h_ok2 = (
-            (adjacent_libs & (l2 < BIGI))
-            | (~adjacent_libs & legal2 & (p1 < 3))
-        ) & ~both_open
-        kh = h_ok1.astype(jnp.int32) + h_ok2.astype(jnp.int32)
-        hunter_term = jnp.where(
-            nlibs >= 3,
-            PREY_GOOD,
-            jnp.where(
-                nlibs <= 1,
-                HUNTER_GOOD,
-                jnp.where(both_open | (kh == 0), PREY_GOOD, UNDECIDED),
-            ),
-        )
-
-        # ---- merge by selector side ----
-        term = jnp.where(selector_prey, prey_term, hunter_term)
-        ok = [
-            _bsel(selector_prey, sel_ok[i], h_ok1 if i == 0 else
-                  (h_ok2 if i == 1 else false_b))
-            for i in range(5)
-        ]
-        vals = [
-            jnp.where(selector_prey, sel_v[i], l1 if i == 0 else
-                      (l2 if i == 1 else zero_i))
-            for i in range(5)
-        ]
-        k = sum(o.astype(jnp.int32) for o in ok)
-        # first valid slot + compact the rest into alt slots 0..3
-        first_v = jnp.full_like(zero_i, -1)
-        rank = zero_i
-        alts = [jnp.full_like(zero_i, -1) for _ in range(MAX_ALTS)]
-        for i in range(5):
-            is_first = ok[i] & (rank == 0)
-            first_v = jnp.where(is_first, vals[i], first_v)
-            for a in range(MAX_ALTS):
-                hit = ok[i] & (rank == a + 1)
-                alts[a] = jnp.where(hit, vals[i], alts[a])
-            rank = rank + ok[i].astype(jnp.int32)
-
-        is_term = term != UNDECIDED
+        sel = _step_select(roll, n, shape, colmask, full, prey_bit,
+                           s["own"], s["opp"], s["prey"], s["ko"],
+                           s["pend_v"], pend_prey)
+        own1, opp1, prey1, ko1 = (sel["own1"], sel["opp1"], sel["prey1"],
+                                  sel["ko1"])
+        selector_prey = sel["selector_prey"]
+        term, is_term = sel["term"], sel["is_term"]
+        first_v, k, alts = sel["first_v"], sel["k"], sel["alts"]
         need_push = ~is_term & (k >= 2)
         overflow = need_push & (s["sp"] >= MAX_FORKS)
         freeze = descend & (budget_dead | overflow)
@@ -633,6 +653,154 @@ def _dfs_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
         )
 
     return state0, body, cond
+
+
+def _greedy_machine(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid):
+    """Stack-free first pass: follow the FIRST viable selection at every
+    ply (the reference's own move ordering) and record whether any
+    multi-selection point (`next_fork`, board.cc:683-688) was seen. A
+    lane that never forked has a chain-shaped game tree, so the greedy
+    terminal IS the exact AND-OR result; forked lanes are re-searched by
+    the DFS pass. Budget-frozen lanes read good-for-prey exactly like the
+    DFS/reference budget, so they are final too. ~10x cheaper per
+    iteration than the DFS body (no [MAX_FORKS, ...] stack traffic) and
+    converges in path-length (not tree-size) iterations."""
+    shape = own0.shape
+    rows = _rows_iota(shape)
+    colmask = (jnp.uint32(1) << size.astype(jnp.uint32)) - jnp.uint32(1)
+    colmask = jnp.broadcast_to(colmask, shape)
+    rowvalid = rows < size
+    full = jnp.where(rowvalid, colmask, jnp.uint32(0))
+    own0 = own0 & full
+    opp0 = opp0 & full
+
+    prey_bit = _vertex_bit(prey_v, shape, n)
+    prey0 = _flood_conv(roll, prey_bit, own0, colmask)
+    zero_i = jnp.zeros(ko0.shape, jnp.int32)
+
+    state0 = dict(
+        own=own0, opp=opp0, prey=prey0, ko=ko0,
+        pend_v=fh_v,
+        pend_prey=zero_i,
+        result=jnp.where(valid > 0, UNDECIDED, PREY_GOOD).astype(jnp.int32),
+        forked=zero_i,
+        nodes=zero_i,
+        it=jnp.int32(0),
+    )
+    keys = list(state0.keys())
+
+    def body(state_tuple):
+        s = dict(zip(keys, state_tuple))
+        pend_prey = s["pend_prey"] > 0
+        active = s["result"] == UNDECIDED
+
+        nodes1 = s["nodes"] + 1
+        sel = _step_select(roll, n, shape, colmask, full, prey_bit,
+                           s["own"], s["opp"], s["prey"], s["ko"],
+                           s["pend_v"], pend_prey)
+        freeze = active & (nodes1 >= NODE_CAP)
+        done = active & (sel["is_term"] | freeze)
+
+        def keep(new, old):
+            m = jnp.broadcast_to(active & ~done, old.shape)
+            return jnp.where(m, new, old)
+
+        out = dict(s)
+        out["own"] = keep(sel["own1"], s["own"])
+        out["opp"] = keep(sel["opp1"], s["opp"])
+        out["prey"] = keep(sel["prey1"], s["prey"])
+        out["ko"] = keep(sel["ko1"], s["ko"])
+        out["pend_v"] = keep(sel["first_v"], s["pend_v"])
+        out["pend_prey"] = keep(
+            sel["selector_prey"].astype(jnp.int32), s["pend_prey"]
+        )
+        out["forked"] = jnp.where(
+            active & ~freeze & ~sel["is_term"] & (sel["k"] >= 2),
+            1, s["forked"],
+        )
+        out["nodes"] = jnp.where(active, nodes1, s["nodes"])
+        out["result"] = jnp.where(
+            done,
+            jnp.where(freeze, PREY_GOOD, sel["term"]),
+            s["result"],
+        )
+        out["it"] = s["it"] + 1
+        return tuple(out[kk] for kk in keys)
+
+    def cond(state_tuple):
+        s = dict(zip(keys, state_tuple))
+        return jnp.any(s["result"] == UNDECIDED) & (s["it"] < NODE_CAP + 8)
+
+    final = dict(zip(keys, lax.while_loop(
+        cond, body, tuple(state0[kk] for kk in keys)
+    )))
+    result = jnp.where(
+        final["result"] == UNDECIDED, PREY_GOOD, final["result"]
+    )
+    return result, final["forked"]
+
+
+def _greedy_kernel(n, own_ref, opp_ref, size_ref, ko_ref,
+                   preyv_ref, fh_ref, valid_ref, res_ref, forked_ref):
+    def roll(b, shift):
+        return pltpu.roll(b, shift, 0)
+
+    res, forked = _greedy_machine(
+        roll, n, own_ref[:], opp_ref[:], size_ref[:], ko_ref[:],
+        preyv_ref[:], fh_ref[:], valid_ref[:],
+    )
+    res_ref[:] = res
+    forked_ref[:] = forked
+
+
+def run_greedy(own_words, opp_words, size, ko, prey_v, first_hunter_v,
+               valid, n, lane_chunk=512):
+    """Greedy first pass over L lanes (Pallas). Returns (result [L],
+    forked [L]); `result` is exact wherever forked == 0."""
+    L = own_words.shape[0]
+    chunk = min(lane_chunk, max(128, L))
+    Lp, args = _prep(own_words, opp_words, size, ko, prey_v,
+                     first_hunter_v, valid, chunk)
+    res, forked = pl.pallas_call(
+        functools.partial(_greedy_kernel, n),
+        grid=(Lp // chunk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Lp), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((ROWS, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=INTERPRET,
+    )(*args)
+    return res.reshape(Lp)[:L], forked.reshape(Lp)[:L]
+
+
+def run_greedy_xla(own_words, opp_words, size, ko, prey_v, first_hunter_v,
+                   valid, n):
+    """Greedy pass in plain XLA (CPU hosts, tests)."""
+    L = own_words.shape[0]
+    Lp, args = _prep(own_words, opp_words, size, ko, prey_v,
+                     first_hunter_v, valid, L)
+
+    def roll(b, shift):
+        return jnp.roll(b, shift, axis=0)
+
+    res, forked = _greedy_machine(roll, n, *args)
+    return res.reshape(Lp)[:L], forked.reshape(Lp)[:L]
 
 
 def _dfs_chases(roll, n, own0, opp0, size, ko0, prey_v, fh_v, valid,
