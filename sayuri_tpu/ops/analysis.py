@@ -60,6 +60,10 @@ except Exception:  # older jax without the knob
 INTERPRET = False  # tests flip this to run the kernel on CPU
 _BIG = 1e9  # plain python float: jnp constants at module scope leak into kernels
 _NUM_LIBS = 5  # count liberties up to 5 (planes need 1..4 exactly)
+# exact inner-region eye refinements per board (two-headed-dragon rescue);
+# MUST equal game/analysis.INNER_SLOTS so kernel and XLA paths agree on
+# the overflow fallback (tests/test_pallas_kernels.py pins this)
+_INNER_SLOTS = 6
 
 
 def _idx(shape):
@@ -176,9 +180,11 @@ def _diag_sum(m, n):
 def _benson_both(black, white, empty, mask, n, lbl_bw=None):
     """Pass-alive area for BOTH colors in one stacked [2C, nn] pass:
     Benson + vital regions + pass-dead opponent regions, mirroring
-    game/analysis.py's XLA implementation exactly (same inner-region
-    approximation). All aggregations are min/or-propagations — no
-    scatters. Returns (pass_area_black, pass_area_white), each [C, nn].
+    game/analysis.py's XLA implementation exactly — INCLUDING the
+    inner-region (two-headed-dragon) eye refinement, board.cc:2013-2107,
+    behind a rarely-taken branch. All aggregations are
+    min/or-propagations — no scatters. Returns
+    (pass_area_black, pass_area_white), each [C, nn].
 
     Stacking layout: rows [0, C) analyze black chains (opponent white),
     rows [C, 2C) analyze white chains. The 4 vital-candidate slots fan
@@ -312,9 +318,62 @@ def _benson_both(black, white, empty, mask, n, lbl_bw=None):
     corner_ok = interior * (corner_c <= 1.0).astype(jnp.float32) + (
         1.0 - interior
     ) * (corner_c == 0.0).astype(jnp.float32)
-    is_eye = others2 * (1.0 - opp_real) * no_c_side * corner_ok
+    cand_eye = others2 * (1.0 - opp_real) * no_c_side
+    is_eye = cand_eye * corner_ok
 
-    gates_o2 = _run_gates(others2, n)  # 3 sequential eye-count fixpoints
+    gates_o2 = _run_gates(others2, n)  # eye-count + label fixpoints
+
+    # --- inner-region refinement (IsPotentialEye + ComputeInnerRegions,
+    # board.cc:1964-2107; mirror of game/analysis.py:186-236): a corner
+    # cell in a blocker component that cannot reach the board edge
+    # outside the region counts as the region owner, rescuing false-eye
+    # life (two-headed dragons). Only failed eye candidates whose bad
+    # corners are all maybe-inner can flip, so the whole pass — the
+    # region labels, the edge flood, and up to INNER_SLOTS exact
+    # per-region border floods — hides behind a branch that typical
+    # boards (no failed eye candidate next to pass-alive stones) never
+    # take.
+    pre = cand_eye * (1.0 - corner_ok)
+    idxf2 = _idx(pre.shape).astype(jnp.float32)
+    nbm = _nbrs(mask, n, 0.0)
+    edge = mask * (1.0 - nbm[0] * nbm[1] * nbm[2] * nbm[3])
+
+    def _refined(_):
+        border = _flood(occupied2 * edge, occupied2, n)
+        maybe_inner = occupied2 * (1.0 - border)
+        corner_maybe = _diag_sum(maybe_inner, n)
+        resc = pre * (
+            interior * (corner_c - corner_maybe <= 1.0)
+            + (1.0 - interior) * (corner_c == corner_maybe)
+        ).astype(jnp.float32)
+        lbl_r2 = _min_prop(idxf2, others2, n, gates=gates_o2)
+        # the first INNER_SLOTS needy region roots, in flat-index order
+        # (game/analysis.py:215-218): k-th distinct lane-min of the
+        # region label over rescuable cells
+        cur = jnp.where(resc > 0, lbl_r2, _BIG)
+        ref = jnp.zeros_like(pre)
+        for _k in range(_INNER_SLOTS):
+            mk = jnp.min(cur, axis=1, keepdims=True)        # [2C, 1]
+            cur = jnp.where(cur == mk, _BIG, cur)
+            has = (mk < _BIG).astype(jnp.float32)
+            in_region = (
+                (lbl_r2 == mk).astype(jnp.float32) * others2 * has
+            )
+            allowed = mask * (1.0 - in_region)
+            outer = _flood(allowed * edge, allowed, n)
+            inner_m = allowed * (1.0 - outer)
+            cc = _diag_sum(occupied2 * (1.0 - inner_m), n)
+            ok2 = interior * (cc <= 1.0).astype(jnp.float32) + (
+                1.0 - interior
+            ) * (cc == 0.0).astype(jnp.float32)
+            ref = jnp.maximum(ref, pre * in_region * ok2)
+        return ref
+
+    refined = lax.cond(
+        jnp.any(pre > 0), _refined, lambda _: jnp.zeros_like(pre), 0
+    )
+    is_eye = jnp.maximum(is_eye, refined)
+
     e1 = _min_prop(jnp.where(is_eye > 0, idxf, _BIG), others2, n,
                    gates=gates_o2)
     e2 = _min_prop(

@@ -110,6 +110,89 @@ class TestAnalysisKernel:
         assert np.asarray(out["safe"][0]).sum() > 0  # real pass-alive group
 
 
+class TestInnerRegionKernel:
+    """The crafted two-headed-dragon goldens through the KERNEL path:
+    round-4 shipped the inner-region pass-dead refinement only in the
+    XLA path (game/analysis.py:183-239) while the production TPU planes
+    came from this kernel's old approximation — these boards pin the
+    kernel to the golden-gated behavior (board.cc:2013-2107)."""
+
+    def test_inner_slots_synced(self):
+        assert AK._INNER_SLOTS == GA.INNER_SLOTS
+
+    def test_dragon_goldens_match_xla(self):
+        import json
+        from pathlib import Path
+
+        golden = (
+            Path(__file__).parent / "goldens" / "passdead_goldens.json"
+        )
+        if not golden.exists():
+            pytest.skip("no passdead goldens")
+        data = json.load(open(golden))
+        n = data["size"]
+        env = GoEnv(n=n)
+        boards = []
+        names = []
+        for rec in data["records"]:
+            if rec["stones"] is None:
+                continue
+            boards.append(
+                np.array(rec["stones"], np.int8).reshape(n, n)
+            )
+            names.append(rec["name"])
+        assert boards, "goldens hold no direct stone layouts"
+        stones = jnp.asarray(np.stack(boards))
+        b = stones.shape[0]
+        out = AK.board_analysis_tpu(
+            stones,
+            jnp.full((b,), n, jnp.int32),
+            jnp.full((b,), -1, jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+        )
+        for i, name in enumerate(names):
+            sf, so = GA.safe_and_ownership(stones[i], jnp.int32(n))
+            assert (
+                np.asarray(sf) == np.asarray(out["safe"][i])
+            ).all(), f"{name}: kernel safe != XLA"
+            assert (
+                np.asarray(so) == np.asarray(out["score_ownership"][i])
+            ).all(), f"{name}: kernel score ownership != XLA"
+
+    def test_ring_refinement_direction(self):
+        """Enclosed island: ring must NOT be pass-dead for black (the
+        kernel's pre-refinement verdict was the opposite)."""
+        import json
+        from pathlib import Path
+
+        golden = (
+            Path(__file__).parent / "goldens" / "passdead_goldens.json"
+        )
+        if not golden.exists():
+            pytest.skip("no passdead goldens")
+        data = json.load(open(golden))
+        by_name = {r["name"]: r for r in data["records"]}
+        if "edge_ring_inner" not in by_name:
+            pytest.skip("crafted records absent")
+        n = data["size"]
+        stones = jnp.asarray(
+            np.array(by_name["edge_ring_inner"]["stones"], np.int8).reshape(
+                n, n
+            )
+        )[None]
+        out = AK.board_analysis_tpu(
+            stones,
+            jnp.asarray([n]),
+            jnp.asarray([-1]),
+            jnp.asarray([0]),
+        )
+        safe = np.asarray(out["safe"][0])
+        assert not safe[0].any() and not safe[:, 0].any(), (
+            "ring wrongly marked pass-dead by the kernel"
+        )
+        assert safe[1:8, 1:8].all(), "island should be pass-alive"
+
+
 class TestStepKernel:
     @pytest.mark.slow
     def test_step_matches_env(self):
