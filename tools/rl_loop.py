@@ -43,6 +43,14 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument(
+        "--cache-entries-per-lane",
+        type=int,
+        default=512,
+        help="NN cache entries per selfplay lane (cache.h:42-60; 0 = off)."
+        " With the cache on, net_queries/ records COUNTED forwards"
+        " (network.h:44-45), not estimates.",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     args = ap.parse_args()
 
@@ -95,7 +103,9 @@ def main():
         komi=args.komi,
         parallel_games=args.parallel_games,
         search_cfg=SearchConfig(
-            max_nodes=args.playouts + 26, gumbel=True
+            max_nodes=args.playouts + 26,
+            gumbel=True,
+            nn_cache_size=args.cache_entries_per_lane,
         ),
         sp_cfg=SelfplayConfig(
             playouts=args.playouts,
