@@ -629,7 +629,12 @@ class MCTS:
 
     def _puct_scores(self, tree, node_idx, is_root, root_score):
         """[B, A] PUCT selection scores at `node_idx` (node.cc:499-576).
-        `node_idx=None` selects at the root statically."""
+        `node_idx=None` selects at the root statically.
+
+        `is_root` is a STATIC python bool: the descent hoists depth 0 out
+        of its loop, so root-only terms (forced playouts, Dirichlet
+        mixing, root FPU) are elided from the per-level loop body at
+        trace time instead of multiplied by an all-False lane mask."""
         cfg = self.cfg
         b = tree.stats.shape[0]
         b_idx = jnp.arange(b)
@@ -676,8 +681,8 @@ class MCTS:
             self._wl_of(tree, node_idx, b_idx),
             1.0 - self._wl_of(tree, node_idx, b_idx),
         )
-        fpu_red = jnp.where(
-            is_root, cfg.root_fpu_reduction, cfg.fpu_reduction
+        fpu_red = (
+            cfg.root_fpu_reduction if is_root else cfg.fpu_reduction
         ) * jnp.sqrt(tvp)
         avg_factor = jnp.square(tvp)
         fpu = jnp.where(
@@ -694,7 +699,7 @@ class MCTS:
         q = jnp.where(visited, wl_child + score_eval, fpu[:, None])
 
         # forced playouts (root only, node.cc:474-485)
-        if cfg.forced_playouts_k > 0:
+        if cfg.forced_playouts_k > 0 and is_root:
             forced_n = jnp.floor(
                 jnp.sqrt(
                     jnp.maximum(
@@ -706,15 +711,15 @@ class MCTS:
                 )
             )
             q = q + jnp.where(
-                is_root[:, None] & visited & (forced_n > nv),
+                visited & (forced_n > nv),
                 (forced_n - nv) * 1e6,
                 0.0,
             )
 
         # policy with root noise (node.cc:576-585)
-        if cfg.dirichlet_noise:
+        if cfg.dirichlet_noise and is_root:
             psa = jnp.where(
-                (is_root & tree.use_noise)[:, None],
+                tree.use_noise[:, None],
                 p_raw * (1 - cfg.dirichlet_epsilon)
                 + cfg.dirichlet_epsilon * tree.root_noise,
                 p_raw,
@@ -746,7 +751,7 @@ class MCTS:
         """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382).
         `node_idx=None` = the root (static slice)."""
         scores = self._puct_scores(tree, node_idx, is_root, root_score)
-        if self.cfg.gumbel:
+        if self.cfg.gumbel and is_root:
             from sayuri_tpu.mcts import gumbel as G
 
             gumbel_scores = G.root_scores(self, tree, sim_idx=sim_idx)
@@ -754,7 +759,7 @@ class MCTS:
             # (ProcessGumbelLogits returning false, node.cc:1729-1731)
             g_ok = jnp.any(jnp.isfinite(gumbel_scores), axis=-1)
             scores = jnp.where(
-                (is_root & tree.use_gumbel & g_ok)[:, None],
+                (tree.use_gumbel & g_ok)[:, None],
                 gumbel_scores,
                 scores,
             )
@@ -784,8 +789,7 @@ class MCTS:
         # Gumbel sort/SH work
         path0 = jnp.full((b, cfg.max_depth), -1, jnp.int32)
         done0 = tree.terminal[:, 0]
-        all_root = jnp.ones((b,), bool)
-        a0 = self._select_action(tree, None, all_root, root_score, sim_idx)
+        a0 = self._select_action(tree, None, True, root_score, sim_idx)
         path = path0.at[:, 0].set(jnp.where(done0, -1, 0))
         path_a = path0.at[:, 0].set(jnp.where(done0, -1, a0))
         child0 = tree.child[b_idx, 0, a0]
@@ -795,15 +799,13 @@ class MCTS:
         done1 = done0 | (child0 < 0) | child0_term
         cur1 = jnp.where(done1, 0, jnp.maximum(child0, 0))
 
-        not_root = jnp.zeros((b,), bool)
-
         def cond(carry):
             _, _, _, done, depth = carry
             return jnp.any(~done) & (depth < cfg.max_depth)
 
         def body(carry):
             cur, path, path_a, done, depth = carry
-            scores = self._puct_scores(tree, cur, not_root, root_score)
+            scores = self._puct_scores(tree, cur, False, root_score)
             a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             child = tree.child[b_idx, cur, a]
             # record step

@@ -715,6 +715,142 @@ def board_analysis_tpu(stones, size, ko, to_move):
     }
 
 
+def _ladder_prep_kernel(n, stones_ref, size_ref, ko_ref,
+                        lbl_ref, nlibs_ref, lib1_ref, lib2_ref,
+                        legb_ref, legw_ref):
+    """Candidate prep for the ladder chases (game/ladder.py
+    _prep_candidates), kernel-side: chain labels, per-chain liberty count
+    capped at 3, the chain's first/second liberty VERTICES, and the
+    single-vertex legality maps for BOTH colors (the hunter color varies
+    per candidate chain). Replaces ~6 per-board XLA label-propagation
+    fixpoints that cost ~25 ms at B=256 on v5e (the dominant cost of
+    root ladder planes on sparse boards)."""
+    stones = stones_ref[:].astype(jnp.float32)
+    size = size_ref[:].astype(jnp.float32)
+    ko = ko_ref[:].astype(jnp.float32)
+
+    idx = _idx(stones.shape)
+    idxf = idx.astype(jnp.float32)
+    row = (idx // n).astype(jnp.float32)
+    col_f = (idx % n).astype(jnp.float32)
+    mask = ((row < size) & (col_f < size)).astype(jnp.float32)
+    empty = (stones == 0.0) * mask
+    black = (stones == 1.0) * mask
+    white = (stones == 2.0) * mask
+
+    bw = _stack(black, white)
+    empty2 = _stack(empty, empty)
+    gates = _run_gates(bw, n)
+    idxf2 = _idx(bw.shape).astype(jnp.float32)
+    labels2 = _min_prop(idxf2, bw, n, gates=gates)
+
+    # k-th distinct chain liberty VERTEX, k < 3 (chains with 1 or 2 libs
+    # are the ladder candidates, board.cc:795-813); count = #existing
+    empty_idx = jnp.where(empty2 > 0, idxf2, _BIG)
+    nb_empty = _nbrs(empty_idx, n, _BIG)
+    kth = []
+    for _k in range(3):
+        cand = _BIG * jnp.ones_like(idxf2)
+        for nb in nb_empty:
+            keep = nb < _BIG
+            for p in kth:
+                keep = keep & (nb != p)
+            cand = jnp.minimum(cand, jnp.where(keep, nb, _BIG))
+        kth.append(_min_prop(cand, bw, n, gates=gates))
+    count2 = (
+        (kth[0] < _BIG).astype(jnp.float32)
+        + (kth[1] < _BIG).astype(jnp.float32)
+        + (kth[2] < _BIG).astype(jnp.float32)
+    ) * bw
+
+    lbl_b, lbl_w = _split2(jnp.where(bw > 0, labels2, -1.0))
+    lbl_ref[:] = jnp.maximum(lbl_b, lbl_w).astype(jnp.int32)
+    cnt_b, cnt_w = _split2(count2)
+    nlibs_ref[:] = (cnt_b + cnt_w).astype(jnp.int32)
+    l1b, l1w = _split2(jnp.where(kth[0] < _BIG, kth[0], float(n * n)))
+    l2b, l2w = _split2(jnp.where(kth[1] < _BIG, kth[1], float(n * n)))
+    lib1_ref[:] = jnp.where(black > 0, l1b, l1w).astype(jnp.int32)
+    lib2_ref[:] = jnp.where(black > 0, l2b, l2w).astype(jnp.int32)
+
+    # single-vertex legality for both colors (_single_vertex_legal
+    # semantics: empty & not-ko & (empty-nbr | own>=2-libs-nbr |
+    # opp-in-atari-nbr))
+    has2_b = black * (cnt_b >= 2.0).astype(jnp.float32)
+    has2_w = white * (cnt_w >= 2.0).astype(jnp.float32)
+    only1_b = black * (cnt_b == 1.0).astype(jnp.float32)
+    only1_w = white * (cnt_w == 1.0).astype(jnp.float32)
+    base = empty * (idxf != ko).astype(jnp.float32)
+    emp_nb = _nbr_or(empty, n)
+    legb_ref[:] = (
+        base
+        * jnp.maximum(
+            emp_nb,
+            jnp.maximum(_nbr_or(has2_b, n), _nbr_or(only1_w, n)),
+        )
+    ) > 0.5
+    legw_ref[:] = (
+        base
+        * jnp.maximum(
+            emp_nb,
+            jnp.maximum(_nbr_or(has2_w, n), _nbr_or(only1_b, n)),
+        )
+    ) > 0.5
+
+
+def ladder_prep_tpu(stones, size, ko):
+    """Batched ladder candidate prep: [B, n, n] stones (+ [B] scalars) ->
+    dict(labels [B, nn] i32 (-1 off-chain), nlibs [B, nn] i32 capped 3,
+    lib1/lib2 [B, nn] i32 (nn = absent), legal_black/legal_white
+    [B, nn] bool)."""
+    b, n = stones.shape[0], stones.shape[-1]
+    nn = n * n
+    chunk = min(b, _CHUNK)
+    pad = (-b) % chunk
+    bp = b + pad
+
+    def prep(x):
+        x = x.reshape(b, -1).astype(jnp.int32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), jnp.int32)])
+        return x
+
+    outs = pl.pallas_call(
+        functools.partial(_ladder_prep_kernel, n),
+        grid=(bp // chunk,),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # labels
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # nlibs
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # lib1
+            jax.ShapeDtypeStruct((bp, nn), jnp.int32),   # lib2
+            jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # legal black
+            jax.ShapeDtypeStruct((bp, nn), jnp.bool_),   # legal white
+        ),
+        in_specs=[
+            pl.BlockSpec((chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (chunk, nn), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(6)
+        ),
+        interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
+    )(prep(stones), prep(size), prep(ko))
+    sl = slice(0, b)
+    labels, nlibs, lib1, lib2, legb, legw = outs
+    return {
+        "labels": labels[sl],
+        "nlibs": nlibs[sl],
+        "lib1": lib1[sl],
+        "lib2": lib2[sl],
+        "legal_black": legb[sl],
+        "legal_white": legw[sl],
+    }
+
+
 def _step_legal_kernel(n, stones_ref, size_ref, ko_ref, tm_ref, act_ref,
                        zob_ref,
                        new_stones_ref, ncap_ref, ko2_ref, hash_ref,
