@@ -101,7 +101,10 @@ def bench_env_steps(batch=4096, n=19, steps=64):
     )
 
 
-def main():
+def bench_playouts(batch, playouts, metric_suffix="", nn_cache_size=0,
+                   quiet=False):
+    """Full batched searches on the default RL net; returns the rate and
+    prints the JSON metric line (suppressed with quiet=True)."""
     import jax
     import jax.numpy as jnp
 
@@ -109,25 +112,6 @@ def main():
     from sayuri_tpu.mcts.core import MCTS, SearchConfig
     from sayuri_tpu.models.evaluator import make_eval_fn
     from sayuri_tpu.models.network import NetConfig, SayuriNet
-
-    if len(sys.argv) > 1 and sys.argv[1] == "envsteps":
-        bench_env_steps(
-            batch=int(sys.argv[2]) if len(sys.argv) > 2 else 4096,
-            n=int(sys.argv[3]) if len(sys.argv) > 3 else 19,
-        )
-        return
-
-    if len(sys.argv) > 1 and sys.argv[1] == "deep":
-        # deeper-tree variant: the reference's config-2 class budget
-        # (400 visits); playouts on big trees are costlier per playout
-        # than the default 96-playout searches, so report separately
-        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-        playouts = 400
-        metric_suffix = "_deep400"
-    else:
-        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-        playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
-        metric_suffix = ""
 
     env = GoEnv(n=19)
     net_cfg = NetConfig(boardsize=19, compute_dtype=jnp.bfloat16)
@@ -139,7 +123,9 @@ def main():
 
     # random-symmetry leaf ensembling on, like real play (node.cc:146)
     eval_fn = make_eval_fn(env, net, variables, symmetry="random")
-    cfg = SearchConfig(max_nodes=playouts + 16, max_depth=64)
+    cfg = SearchConfig(
+        max_nodes=playouts + 16, max_depth=64, nn_cache_size=nn_cache_size
+    )
     mcts = MCTS(env, eval_fn, cfg)
 
     @jax.jit
@@ -171,16 +157,52 @@ def main():
 
     total_playouts = iters * batch * playouts
     rate = total_playouts / dt
-    print(
-        json.dumps(
-            {
-                "metric": "mcts_playouts_per_s_19x19_b6c96" + metric_suffix,
-                "value": round(rate, 1),
-                "unit": "playouts/s",
-                "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),
-            }
+    suffix = metric_suffix + ("_cached" if nn_cache_size else "")
+    if not quiet:
+        print(
+            json.dumps(
+                {
+                    "metric": "mcts_playouts_per_s_19x19_b6c96" + suffix,
+                    "value": round(rate, 1),
+                    "unit": "playouts/s",
+                    "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),
+                }
+            )
         )
-    )
+    return rate
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "envsteps":
+        bench_env_steps(
+            batch=int(sys.argv[2]) if len(sys.argv) > 2 else 4096,
+            n=int(sys.argv[3]) if len(sys.argv) > 3 else 19,
+        )
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "deep":
+        # deeper-tree variant: the reference's config-2 class budget
+        # (400 visits); playouts on big trees are costlier per playout
+        # than the default 96-playout searches, so report separately
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        bench_playouts(batch, 400, metric_suffix="_deep400")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "cached":
+        # NN-cache-on variant (the reference's cache is always on,
+        # network.cc:102-121); empty-board lanes transpose heavily, so
+        # this is an upper bound, not the headline
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        bench_playouts(batch, 96, nn_cache_size=1024)
+        return
+
+    # default driver run: BOTH north-star metrics (BASELINE.md) — the raw
+    # env-stepping line first, the headline NN-evaluated playouts LAST
+    # (the driver's parsed metric)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    playouts = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    bench_env_steps()
+    bench_playouts(batch, playouts)
 
 
 if __name__ == "__main__":

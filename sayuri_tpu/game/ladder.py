@@ -40,11 +40,12 @@ def max_chains(n):
     """Per-board simulation slots for candidate chains (chains with 1 or
     2 libs). The reference searches EVERY such chain (GetLadderMap scans
     all strings, board.cc:1629-1641); observed maxima over golden games
-    are 17 (9x9) and 48 (19x19), so n*n//3 slots cover real positions
-    with margin. Invalid slots converge instantly in the lockstep search
-    (and lanes are compacted valid-first), so generous slots cost little.
-    """
-    return max(24, (n * n) // 3)
+    are 17 (9x9) and 48 (19x19), so n*n//4 slots (90 at 19x19, ~1.9x the
+    observed max) cover real positions with margin. Invalid slots
+    converge instantly in the lockstep search (and lanes are compacted
+    valid-first), but every slot still pays lane assembly + the two
+    compaction argsorts, so the margin is deliberately not larger."""
+    return max(24, (n * n) // 4)
 
 
 # back-compat alias used by tools; per-size value preferred

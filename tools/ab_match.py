@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--komi", type=float, default=7.0)
     ap.add_argument("--playouts", type=int, default=64)
     ap.add_argument("--weights", default=None)
+    ap.add_argument("--weights-b", default=None,
+                    help="separate checkpoint for side B (strength-trend "
+                         "matches: round-k vs round-0 nets at equal "
+                         "playouts)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--a", action="append", help="SearchConfig k=v for A")
@@ -104,14 +108,23 @@ def main():
             **{**net_cfg.__dict__, "boardsize": args.boardsize}
         )
 
-        def build_eval(over):
+        def build_eval(over, cfg=None, var=None):
             return make_eval_fn(
-                env, SayuriNet(net_cfg), variables,
+                env, SayuriNet(cfg or net_cfg), var or variables,
                 **{"symmetry": "random", **over},
             )
 
         eval_a = build_eval(ev_a)
-        eval_b = build_eval(ev_b) if ev_b != ev_a else eval_a
+        if args.weights_b:
+            cfg_b_, var_b = weights_io.load_checkpoint_for_inference(
+                args.weights_b
+            )
+            cfg_b_ = NetConfig(
+                **{**cfg_b_.__dict__, "boardsize": args.boardsize}
+            )
+            eval_b = build_eval(ev_b, cfg_b_, var_b)
+        else:
+            eval_b = build_eval(ev_b) if ev_b != ev_a else eval_a
     else:
         eval_a = eval_b = make_dummy_eval_fn(env)
         if ev_a or ev_b:
@@ -185,6 +198,14 @@ def main():
                 "b": args.label_b,
                 "overrides_a": {**parse_overrides(args.a), **ev_a},
                 "overrides_b": {**parse_overrides(args.b), **ev_b},
+                **(
+                    {
+                        "weights_a": Path(args.weights).name,
+                        "weights_b": Path(args.weights_b).name,
+                    }
+                    if args.weights_b
+                    else {}
+                ),
                 "games": B,
                 "moves_played": mv + 1,
                 "a_wins": wins,

@@ -111,7 +111,7 @@ def main():
     ap.add_argument("--weights", required=True, help="flax checkpoint")
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--boardsize", type=int, default=9)
-    ap.add_argument("--komi", type=float, default=7.0)
+    ap.add_argument("--komi", type=float, default=7.5)
     ap.add_argument("--playouts", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
