@@ -183,6 +183,11 @@ class SearchConfig:
     # scoring and dame-filling under territory (--first-pass-bonus,
     # config.cc:120, node.cc:813-869); off by default like the reference
     first_pass_bonus: bool = False
+    # value in-tree two-pass terminals by plain Tromp-Taylor reach
+    # ownership instead of the reference-exact score-area pass
+    # (FromGameOver -> ComputeScoreArea, search.cc:71-88) — kept for the
+    # A/B harness; default is the exact behavior
+    terminal_tt_score: bool = False
 
 
 @struct.dataclass
@@ -627,7 +632,8 @@ class MCTS:
         )
         return g, has
 
-    def _puct_scores(self, tree, node_idx, is_root, root_score):
+    def _puct_scores(self, tree, node_idx, is_root, root_score,
+                     color=None):
         """[B, A] PUCT selection scores at `node_idx` (node.cc:499-576).
         `node_idx=None` selects at the root statically.
 
@@ -644,9 +650,19 @@ class MCTS:
             p_raw = tree.prior[:, 0]
             node_idx = jnp.zeros((b,), jnp.int32)
             g, _ = self._child_stats(tree)
+            node_row = tree.stats[:, 0]           # [B, 8] static slice
+            if color is None:
+                color = tree.states.to_move[:, 0]
         else:
             p_raw = tree.prior[b_idx, node_idx]   # [B, A] (row slice)
             g, _ = self._child_stats(tree, node_idx)
+            # ONE row gather for every per-node scalar the formula needs
+            # (visits slot 0, acc_wl slot 1, net_wl slot 7) — separate
+            # [B]-gathers measured ~5us each on v5e and the descent body
+            # pays this every level
+            node_row = tree.stats[b_idx, node_idx]
+            if color is None:
+                color = tree.states.to_move[b_idx, node_idx]
         legal = p_raw > 0
 
         nv = g[..., 0]                            # f32 child visits
@@ -667,20 +683,14 @@ class MCTS:
         cv = jnp.sum(nv, axis=-1)                 # children_visits (f32)
         tvp = jnp.sum(jnp.where(nv > 0, p_raw, 0.0), axis=-1)
 
-        color = tree.states.to_move[b_idx, node_idx]  # [B]
         sign = jnp.where(color == 0, 1.0, -1.0)
 
         # fpu (node.cc:423-438); values converted to node color perspective
-        net_wl_c = jnp.where(
-            color == 0, tree.net_wl[b_idx, node_idx],
-            1.0 - tree.net_wl[b_idx, node_idx],
-        )
-        parent_v = tree.visits[b_idx, node_idx]
-        wl_c = jnp.where(
-            color == 0,
-            self._wl_of(tree, node_idx, b_idx),
-            1.0 - self._wl_of(tree, node_idx, b_idx),
-        )
+        parent_v = node_row[:, 0]
+        node_net_wl = node_row[:, 7]
+        node_wl = node_row[:, 1] / jnp.maximum(parent_v, 1.0)
+        net_wl_c = jnp.where(color == 0, node_net_wl, 1.0 - node_net_wl)
+        wl_c = jnp.where(color == 0, node_wl, 1.0 - node_wl)
         fpu_red = (
             cfg.root_fpu_reduction if is_root else cfg.fpu_reduction
         ) * jnp.sqrt(tvp)
@@ -747,10 +757,12 @@ class MCTS:
         score = q + puct
         return jnp.where(legal, score, -jnp.inf)
 
-    def _select_action(self, tree, node_idx, is_root, root_score, sim_idx):
+    def _select_action(self, tree, node_idx, is_root, root_score,
+                       sim_idx, color=None):
         """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382).
         `node_idx=None` = the root (static slice)."""
-        scores = self._puct_scores(tree, node_idx, is_root, root_score)
+        scores = self._puct_scores(tree, node_idx, is_root, root_score,
+                                   color=color)
         if self.cfg.gumbel and is_root:
             from sayuri_tpu.mcts import gumbel as G
 
@@ -803,9 +815,17 @@ class MCTS:
             _, _, _, done, depth = carry
             return jnp.any(~done) & (depth < cfg.max_depth)
 
+        root_color = tree.states.to_move[:, 0].astype(jnp.int32)
+
         def body(carry):
             cur, path, path_a, done, depth = carry
-            scores = self._puct_scores(tree, cur, False, root_score)
+            # to_move alternates every ply (pass included), so the node's
+            # color is the root color xor the depth parity — no per-level
+            # gather from the packed states
+            color = root_color ^ (depth & 1)
+            scores = self._puct_scores(
+                tree, cur, False, root_score, color=color
+            )
             a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             child = tree.child[b_idx, cur, a]
             # record step
@@ -865,16 +885,30 @@ class MCTS:
         else:
             evals = self.eval_fn(child_states, eval_ctx)
         # terminal two-pass leaves valued by the final score
-        # (search.cc:71-88); Tromp-Taylor ownership stands in for the full
-        # score-area pass (see mcts docstring). Terminal leaves are rare,
-        # so the whole scoring pass is behind a real branch.
+        # (search.cc:71-88): the reference's FromGameOver scores the area
+        # rule with the pass-alive override (ComputeScoreArea), which the
+        # analysis kernel already emits as score_ownership — used by
+        # default. cfg.terminal_tt_score=True restores the plain
+        # Tromp-Taylor reach ownership of rounds 1-4 (the A/B harness
+        # measures the two). Terminal leaves are rare, so the whole
+        # scoring pass is behind a real branch.
         def term_scores(_):
             if analysis is not None:
-                own_map = analysis["ownership"].reshape(b, -1)
-            else:
+                key = (
+                    "ownership" if cfg.terminal_tt_score
+                    else "score_ownership"
+                )
+                own_map = analysis[key].reshape(b, -1)
+            elif cfg.terminal_tt_score:
                 own_map = jax.vmap(self.env.ownership)(child_states).reshape(
                     b, -1
                 )
+            else:
+                from sayuri_tpu.game import analysis as GA_
+
+                own_map = jax.vmap(
+                    lambda s: GA_.score_area_ownership(s.stones, s.size)
+                )(child_states).reshape(b, -1)
             t_score = jnp.sum(own_map, axis=-1).astype(
                 jnp.float32
             ) - jax.vmap(self.env.komi_with_penalty)(child_states)
