@@ -138,6 +138,7 @@ def main():
 
     n = args.boardsize
     G = min(args.games, args.max_procs)
+    G_lanes = G
     half = G // 2
 
     net_cfg, variables = weights_io.load_checkpoint_for_inference(
@@ -168,6 +169,14 @@ def main():
         superko = jax.vmap(env.superko_action_mask)(states)
         tree = mcts.init_tree(states, rng, prior_mask=~superko, ctx=ctx)
         tree = mcts.run(tree, args.playouts, ctx=ctx)
+        if args.gumbel:
+            # mirror the reference: genmove plays the Gumbel pick when
+            # gumbel is on and under the playouts threshold
+            # (search.cc:1009-1013 -> GetGumbelMove)
+            from sayuri_tpu.mcts import gumbel as G
+
+            allow = jnp.ones((G_lanes,), bool)
+            return G.gumbel_move(mcts, tree, allow)
         return mcts.best_move(tree)
 
     step = jax.jit(jax.vmap(env.step))
