@@ -139,19 +139,29 @@ def bench_playouts(batch, playouts, metric_suffix="", nn_cache_size=0,
         }
         tree = mcts.init_tree(states, rng, ctx=ctx)
         tree = mcts.run(tree, playouts, ctx=ctx)
-        return tree.visits[:, 0]
+        if nn_cache_size:
+            stats = jnp.stack(
+                [
+                    jnp.sum(tree.cache.queries),
+                    jnp.sum(tree.cache.hits),
+                    jnp.sum(tree.cache.dups),
+                ]
+            )
+        else:
+            stats = jnp.zeros((3,), jnp.int32)
+        return tree.visits[:, 0], stats
 
     states = env.new_batch(batch, komi=7.5)
     rng = jax.random.PRNGKey(0)
 
     # compile + warmup (sum readback: block_until_ready alone can return
     # before the device is done under tunneled/async runtimes)
-    float(jnp.sum(search(states, rng)))
+    float(jnp.sum(search(states, rng)[0]))
 
     t0 = time.monotonic()
     iters = 3
     for i in range(iters):
-        out = search(states, jax.random.fold_in(rng, i))
+        out, qstats = search(states, jax.random.fold_in(rng, i))
     float(jnp.sum(out))
     dt = time.monotonic() - t0
 
@@ -159,16 +169,18 @@ def bench_playouts(batch, playouts, metric_suffix="", nn_cache_size=0,
     rate = total_playouts / dt
     suffix = metric_suffix + ("_cached" if nn_cache_size else "")
     if not quiet:
-        print(
-            json.dumps(
-                {
-                    "metric": "mcts_playouts_per_s_19x19_b6c96" + suffix,
-                    "value": round(rate, 1),
-                    "unit": "playouts/s",
-                    "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),
-                }
-            )
-        )
+        line = {
+            "metric": "mcts_playouts_per_s_19x19_b6c96" + suffix,
+            "value": round(rate, 1),
+            "unit": "playouts/s",
+            "vs_baseline": round(rate / BASELINE_PLAYOUTS_PER_S, 3),
+        }
+        if nn_cache_size:
+            # counted device stats of the LAST timed search
+            # (network.cc:102-121 probe-then-forward accounting)
+            q, h, d = (int(x) for x in qstats)
+            line["cache_hit_rate"] = round((h + d) / max(q, 1), 4)
+        print(json.dumps(line))
     return rate
 
 
