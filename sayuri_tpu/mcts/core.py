@@ -757,12 +757,36 @@ class MCTS:
         score = q + puct
         return jnp.where(legal, score, -jnp.inf)
 
+    @staticmethod
+    def _argmax_prior_tiebreak(scores, priors):
+        """[B] argmax of `scores` with exact PUCT-value ties resolved to
+        the highest-prior action.
+
+        The reference iterates children in DESCENDING-policy order
+        (LinkNodeList stable-sorts the (policy, vertex) list,
+        node.cc:287-293) with a strict `value > best_value` compare
+        (node.cc:568), so equal selection values go to the highest-prior
+        child. A plain argmax over the action axis breaks ties toward
+        action index 0 instead — on the first simulation (children_visits
+        = 0 makes every child score exactly the parent's FPU) that
+        systematically expanded the A1 corner and snowballed the whole
+        search onto it; measured at ~-600 Elo vs the reference binary
+        with shared weights (tools/ref_match.py, round 5)."""
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        return jnp.argmax(
+            jnp.where(scores >= m, priors, -jnp.inf), axis=-1
+        ).astype(jnp.int32)
+
     def _select_action(self, tree, node_idx, is_root, root_score,
                        sim_idx, color=None):
         """PUCT everywhere; Gumbel at root when enabled (node.cc:372-382).
         `node_idx=None` = the root (static slice)."""
         scores = self._puct_scores(tree, node_idx, is_root, root_score,
                                    color=color)
+        if node_idx is None:
+            priors = tree.prior[:, 0]
+        else:
+            priors = tree.prior[jnp.arange(scores.shape[0]), node_idx]
         if self.cfg.gumbel and is_root:
             from sayuri_tpu.mcts import gumbel as G
 
@@ -775,7 +799,7 @@ class MCTS:
                 gumbel_scores,
                 scores,
             )
-        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return self._argmax_prior_tiebreak(scores, priors)
 
     # ------------------------------------------------------------------
     # one simulation for the whole batch
@@ -826,7 +850,9 @@ class MCTS:
             scores = self._puct_scores(
                 tree, cur, False, root_score, color=color
             )
-            a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            a = self._argmax_prior_tiebreak(
+                scores, tree.prior[b_idx, cur]
+            )
             child = tree.child[b_idx, cur, a]
             # record step
             path = path.at[:, depth].set(jnp.where(done, -1, cur))

@@ -338,3 +338,42 @@ class TestNNCache:
         h16, _, _ = NC.probe(cache, key(16))
         h24, _, _ = NC.probe(cache, key(24))
         assert not bool(h8[0]) and bool(h16[0]) and bool(h24[0])
+
+
+class TestSelectionTiebreak:
+    def test_first_expansion_follows_prior_not_index(self):
+        """All-equal PUCT scores (children_visits=0 makes every child
+        score the parent FPU exactly) must tie-break to the HIGHEST-PRIOR
+        action like the reference (LinkNodeList descending-policy order +
+        strict `>` compare, node.cc:287-293,568) — a plain argmax expands
+        action 0 (the A1 corner) and snowballs the search onto it."""
+        env = GoEnv(n=5)
+        target = 12  # C3, an arbitrary non-zero action
+
+        def eval_fn(states, ctx=None):
+            b = states.stones.shape[0]
+            legal = jax.vmap(env.legal_action_mask)(states)
+            base = jnp.where(legal, 1.0, 0.0)
+            peaked = base.at[:, target].mul(3.0)
+            priors = peaked / jnp.sum(peaked, axis=-1, keepdims=True)
+            return NetEvals(
+                priors=priors,
+                black_wl=jnp.full((b,), 0.5),
+                draw=jnp.zeros((b,)),
+                black_score=jnp.zeros((b,)),
+                black_ownership=jnp.zeros((b, env.n * env.n)),
+            )
+
+        cfg = SearchConfig(max_nodes=40, max_depth=16)
+        mcts = MCTS(env, eval_fn, cfg)
+        states = env.new_batch(2, komi=7.0)
+
+        @jax.jit
+        def one_sim(states):
+            tree = mcts.init_tree(states, jax.random.PRNGKey(0))
+            return mcts.run(tree, 1)
+
+        tree = one_sim(states)
+        visits = np.asarray(mcts.root_child_visits(tree))
+        assert (visits[:, target] == 1).all(), visits[0].nonzero()
+        assert visits.sum() == 2  # exactly one child expanded per lane
