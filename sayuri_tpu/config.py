@@ -82,8 +82,8 @@ OPTIONS: dict[str, Opt] = {
     "cpuct_dynamic_k_base": Opt(10000.0),
     "fpu_reduction": Opt(0.25),
     "root_fpu_reduction": Opt(0.25),
-    "score_utility_factor": Opt(0.1),
-    "score_utility_div": Opt(20.0),
+    "score_utility_factor": Opt(0.4),
+    "score_utility_div": Opt(1.0),
     "lcb_reduction": Opt(0.02, 0.0, 1.0),
     "forced_playouts_k": Opt(0.0),
     "gumbel": Opt(False),

@@ -149,9 +149,12 @@ class SearchConfig:
     cpuct_dynamic_k_base: float = 10000.0
     fpu_reduction: float = 0.25
     root_fpu_reduction: float = 0.25
-    # score utility
-    score_utility_factor: float = 0.1
-    score_utility_div: float = 20.0
+    # score utility (config.cc:73-74: factor 0.4, div 1.0 — round-5 fix:
+    # the old 0.1/20.0 defaults flattened E[atan((s-c)/(div*bsize))] to
+    # ~1e-3 and effectively disabled the score term; the reference's
+    # score utility is ~0.1-magnitude and shapes every selection)
+    score_utility_factor: float = 0.4
+    score_utility_div: float = 1.0
     # noise / exploration
     dirichlet_noise: bool = False
     dirichlet_epsilon: float = 0.25
